@@ -1,0 +1,209 @@
+"""Selective-scan (Mamba-1) kernels, TPU-native.
+
+Implements the linear state-space recurrence
+
+    x_t = exp(dt_t * A) * x_{t-1} + dt_t * B_t * u_t
+    y_t = C_t . x_t  (+ D * u_t)  (* silu(z_t) if gated)
+
+This is the TPU replacement for the reference CUDA kernel
+(`/root/reference/CrossMamba/FusionMamba/selective_scan/selective_scan_fwd_kernel.cuh:67-345`
+and its Python wrapper `mamba_ssm/ops/selective_scan_interface.py:83-158`).
+
+Three implementations, all pure functions over the same signature:
+
+* ``selective_scan_seq``  — sequential ``lax.scan`` over time.  Mirrors the
+  reference's pure-PyTorch ``selective_scan_ref``; used as the golden model
+  in parity tests and for tiny shapes.
+* ``selective_scan_xla``  — chunked: ``lax.scan`` over L-chunks carrying the
+  [B, D, N] state, ``lax.associative_scan`` inside each chunk.  Avoids
+  materialising the full [B, L, D, N] decay tensor in HBM, is fully
+  differentiable through XLA, and maps onto the VPU.
+* ``selective_scan_pallas`` (in ``selective_scan_pallas.py``) — hand-written
+  Pallas kernel for the hot path.
+
+Native layout is time-major-in-middle, channel-last: ``u: [batch, L, d]``
+(the reference uses ``[batch, d, L]``; channel-last keeps the model end-to-end
+lane-aligned on TPU and avoids transposes around the projections).
+
+Shapes
+------
+u, delta : [B, L, D]
+A        : [D, N]            (real, negative; stored as -exp(A_log) upstream)
+B, C     : [B, L, N] or [B, L, G, N]   (G groups broadcast over D//G channels)
+D        : [D] or None       (skip connection)
+z        : [B, L, D] or None (silu gate, fused)
+delta_bias : [D] or None
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _prep_inputs(u, delta, A, B, C, delta_bias, delta_softplus):
+    """Common preprocessing: dtype promotion, delta bias/softplus, group dims."""
+    dtype = jnp.float32  # scan runs in fp32 (reference casts likewise: MedMamba.py:404-409)
+    u = u.astype(dtype)
+    delta = delta.astype(dtype)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(dtype)
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    A = A.astype(dtype)
+    if B.ndim == 3:
+        B = B[:, :, None, :]
+        C = C[:, :, None, :]
+    B = B.astype(dtype)
+    C = C.astype(dtype)
+    return u, delta, A, B, C
+
+
+def _apply_tail(y, u, D, z, out_dtype):
+    if D is not None:
+        y = y + u * D.astype(y.dtype)
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(y.dtype))
+    return y.astype(out_dtype)
+
+
+def selective_scan_seq(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                       delta_softplus=False, return_last_state=False):
+    """Golden-model sequential scan (lax.scan over every timestep)."""
+    out_dtype = u.dtype
+    u, delta, A, Bm, Cm = _prep_inputs(u, delta, A, B, C, delta_bias, delta_softplus)
+    batch, L, d = u.shape
+    n = A.shape[1]
+    g = Bm.shape[2]
+    rep = d // g
+
+    def step(x, inp):
+        # x: [batch, d, n]
+        u_t, dt_t, b_t, c_t = inp          # [batch,d], [batch,d], [batch,g,n], [batch,g,n]
+        dA = jnp.exp(dt_t[..., None] * A)  # [batch, d, n]
+        b_full = jnp.repeat(b_t, rep, axis=1)   # [batch, d, n]
+        c_full = jnp.repeat(c_t, rep, axis=1)
+        x = dA * x + (dt_t * u_t)[..., None] * b_full
+        y = jnp.sum(c_full * x, axis=-1)   # [batch, d]
+        return x, y
+
+    x0 = jnp.zeros((batch, d, n), dtype=u.dtype)
+    xs = (jnp.moveaxis(u, 1, 0), jnp.moveaxis(delta, 1, 0),
+          jnp.moveaxis(Bm, 1, 0), jnp.moveaxis(Cm, 1, 0))
+    last, ys = lax.scan(step, x0, xs)
+    y = jnp.moveaxis(ys, 0, 1)             # [batch, L, d]
+    y = _apply_tail(y, u, D, z, out_dtype)
+    if return_last_state:
+        return y, last
+    return y
+
+
+def _chunk_scan(carry, chunk, A, rep):
+    """One L-chunk: associative scan over the chunk with incoming state."""
+    u_c, dt_c, b_c, c_c = chunk            # [batch, T, d], [batch, T, d], [batch, T, g, n], ...
+    x_in = carry                           # [batch, d, n]
+    dA = jnp.exp(dt_c[..., None] * A)      # [batch, T, d, n]
+    b_full = jnp.repeat(b_c, rep, axis=2)  # [batch, T, d, n]
+    dBu = (dt_c * u_c)[..., None] * b_full
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a1 * a2, a2 * b1 + b2
+
+    a_acc, x_states = lax.associative_scan(combine, (dA, dBu), axis=1)
+    # fold in the incoming state: x_t = a_acc_t * x_in + x_states_t
+    x_states = x_states + a_acc * x_in[:, None]
+    c_full = jnp.repeat(c_c, rep, axis=2)
+    y = jnp.sum(c_full * x_states, axis=-1)          # [batch, T, d]
+    return x_states[:, -1], y
+
+
+def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                       delta_softplus=False, return_last_state=False,
+                       chunk: int = 128):
+    """Chunked associative scan: O(B*chunk*D*N) live memory, XLA-differentiable."""
+    out_dtype = u.dtype
+    u32, delta, A, Bm, Cm = _prep_inputs(u, delta, A, B, C, delta_bias, delta_softplus)
+    batch, L, d = u32.shape
+    n = A.shape[1]
+    g = Bm.shape[2]
+    rep = d // g
+
+    pad = (-L) % chunk
+    if pad:
+        u_p = jnp.pad(u32, ((0, 0), (0, pad), (0, 0)))
+        dt_p = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
+        b_p = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        c_p = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        u_p, dt_p, b_p, c_p = u32, delta, Bm, Cm
+    nchunks = (L + pad) // chunk
+
+    def to_chunks(x):
+        return jnp.moveaxis(x.reshape((batch, nchunks, chunk) + x.shape[2:]), 1, 0)
+
+    xs = (to_chunks(u_p), to_chunks(dt_p), to_chunks(b_p), to_chunks(c_p))
+    step = functools.partial(_chunk_scan, A=A, rep=rep)
+    x0 = jnp.zeros((batch, d, n), dtype=jnp.float32)
+    last, ys = lax.scan(step, x0, xs)
+    y = jnp.moveaxis(ys, 0, 1).reshape(batch, nchunks * chunk, d)[:, :L]
+    y = _apply_tail(y, u32, D, z, out_dtype)
+    if return_last_state:
+        return y, last
+    return y
+
+
+def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                   delta_softplus=False, return_last_state=False,
+                   impl: str = "auto", chunk: int = 128):
+    """Dispatching entry point.
+
+    impl: 'auto' | 'seq' | 'xla' | 'pallas'.  'auto' picks the Pallas kernel
+    on TPU backends (when shapes allow) and the chunked XLA scan elsewhere.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "seq":
+        return selective_scan_seq(u, delta, A, B, C, D, z, delta_bias,
+                                  delta_softplus, return_last_state)
+    if impl == "pallas":
+        from medical_image_classification_tpu.kernels.selective_scan_pallas import (
+            selective_scan_pallas, pallas_supported)
+        if pallas_supported(u, A, B):
+            return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
+                                         delta_softplus, return_last_state)
+        impl = "xla"
+    if impl == "xla":
+        return selective_scan_xla(u, delta, A, B, C, D, z, delta_bias,
+                                  delta_softplus, return_last_state, chunk=chunk)
+    raise ValueError(f"unknown selective_scan impl: {impl}")
+
+
+def selective_state_update(state, x, dt, A, B, C, D=None, z=None,
+                           dt_bias=None, dt_softplus=False):
+    """Single-token decode step (TPU equivalent of the reference Triton kernel
+    `mamba_ssm/ops/triton/selective_state_update.py:99`).
+
+    state: [batch, d, n]; x, dt: [batch, d]; A: [d, n]; B, C: [batch, n].
+    Returns (new_state, y[batch, d]).
+    """
+    f32 = jnp.float32
+    x32, dt32 = x.astype(f32), dt.astype(f32)
+    if dt_bias is not None:
+        dt32 = dt32 + dt_bias.astype(f32)
+    if dt_softplus:
+        dt32 = jax.nn.softplus(dt32)
+    dA = jnp.exp(dt32[..., None] * A.astype(f32))           # [batch, d, n]
+    dBx = (dt32 * x32)[..., None] * B.astype(f32)[:, None]  # [batch, d, n]
+    new_state = dA * state.astype(f32) + dBx
+    y = jnp.einsum("bdn,bn->bd", new_state, C.astype(f32))
+    if D is not None:
+        y = y + D.astype(f32) * x32
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(f32))
+    return new_state.astype(state.dtype), y.astype(x.dtype)

@@ -1,0 +1,14 @@
+"""Hermetic test env: 8 virtual CPU devices so DP/TP/SP tests run anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_default_matmul_precision", "highest")
