@@ -1,0 +1,278 @@
+"""SS2D Flax modules: the 2-D selective-scan layer family.
+
+* ``SS2D``    — Mamba-1 core (`/root/reference/MedMamba.py:253-483`)
+* ``SS2DSSD`` — Mamba-2/SSD multi-head core (`CNN_Mamba.py:322-564`), with
+  optional semantic-token pooling (ST-SSD, `st_mamba/ST_SSD.py:378-659`) and
+  optional KAN-wrapped projections (`kanSSD/kanin{out}SSD.py:392-449`; the
+  reference constructs those KANs inside forward() on every call — an
+  acknowledged bug (SURVEY S8) — here they are registered modules).
+
+Parameter-init parity with the reference (`MedMamba.py:329-384`):
+Δ-projection weight U(-r^-0.5, r^-0.5), Δ-bias softplus-inverse of
+logU(dt_min, dt_max), A = -exp(A_log) with S4D-real (Mamba-1) or
+logU(1,16)-per-head (SSD) init, D = 1.  Tensor-parallel sharding of
+in/out projections is applied externally via GSPMD param annotations
+(parallel/sharding.py), replacing the reference's Column/RowParallelLinear
+(`CNN_Mamba.py:386-392,433-439`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medical_image_classification_tpu.models.common import (
+    trunc_normal_02,
+    kaiming_conv,
+)
+from medical_image_classification_tpu.ops.ss2d import (
+    ss2d_core_mamba1,
+    ss2d_core_ssd,
+    rmsnorm_gated,
+)
+
+
+def dt_bias_init(dt_min=0.001, dt_max=0.1, floor=1e-4):
+    """Softplus-inverse of a log-uniform draw in [dt_min, dt_max]."""
+    def init(rng, shape, dtype=jnp.float32):
+        # reference draws once and repeats across the K=4 copies
+        # (CNN_Mamba.py:414-421); mirror that by drawing shape[1:] and tiling.
+        per = jax.random.uniform(rng, shape[1:], dtype=jnp.float32)
+        dt = jnp.exp(per * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, floor, None)
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return jnp.broadcast_to(inv, shape).astype(dtype)
+    return init
+
+
+def a_log_init_s4d():
+    """S4D-real: A_log[k, d, n] = log(n+1), identical across k, d."""
+    def init(rng, shape, dtype=jnp.float32):
+        k, d, n = shape
+        a = jnp.log(jnp.arange(1, n + 1, dtype=jnp.float32))
+        return jnp.broadcast_to(a, shape).astype(dtype)
+    return init
+
+
+def a_log_init_uniform(lo=1.0, hi=16.0):
+    """SSD per-head init: log U(lo, hi), one draw repeated across K copies."""
+    def init(rng, shape, dtype=jnp.float32):
+        per = jax.random.uniform(rng, shape[1:], jnp.float32, lo, hi)
+        return jnp.broadcast_to(jnp.log(per), shape).astype(dtype)
+    return init
+
+
+def uniform_pm(std):
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, -std, std)
+    return init
+
+
+def torch_linear_rowmajor(rng, shape, dtype=jnp.float32):
+    """torch Linear default on a [K, out, in] stacked weight."""
+    bound = 1.0 / math.sqrt(shape[-1])
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+class SS2D(nn.Module):
+    """Mamba-1 four-direction 2-D selective scan layer (NHWC in/out)."""
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dt_rank: Optional[int] = None
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d_inner = self.expand * self.d_model
+        R = self.dt_rank or math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 4
+
+        xz = nn.Dense(2 * d_inner, use_bias=self.bias,
+                      kernel_init=trunc_normal_02, name="in_proj")(x)
+        xpart, z = jnp.split(xz, 2, axis=-1)
+        xpart = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
+                        feature_group_count=d_inner, use_bias=self.conv_bias,
+                        kernel_init=kaiming_conv, name="conv2d")(xpart)
+        xpart = jax.nn.silu(xpart)
+
+        x_proj_w = self.param("x_proj_weight", torch_linear_rowmajor,
+                              (K, R + 2 * N, d_inner))
+        dt_w = self.param("dt_projs_weight", uniform_pm(R ** -0.5),
+                          (K, d_inner, R))
+        dt_b = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
+        A_log = self.param("A_logs", a_log_init_s4d(), (K, d_inner, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+
+        y = ss2d_core_mamba1(xpart, x_proj_w, dt_w, dt_b, A_log, Ds,
+                             d_state=N, dt_rank=R, impl=self.scan_impl)
+        y = nn.LayerNorm(name="out_norm")(y.astype(x.dtype))
+        y = y * jax.nn.silu(z)
+        out = nn.Dense(self.d_model, use_bias=self.bias,
+                       kernel_init=trunc_normal_02, name="out_proj")(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class STL(nn.Module):
+    """Semantic token learner (`st_mamba/ST_SSD.py:268-319`):
+    max+avg-pooled channel attention, then a softmax token mixer producing
+    p^2 semantic tokens from L positions."""
+    p: int
+    channels: int
+
+    @nn.compact
+    def __call__(self, y):
+        # y: [B, L, C]
+        u1 = self.param("u1", nn.initializers.uniform(1.0),
+                        (self.channels, self.p ** 2))
+        u2 = self.param("u2", nn.initializers.uniform(1.0),
+                        (self.channels, self.channels))
+        s_max = jnp.max(y, axis=-1, keepdims=True)        # over channels -> [B,L,1]
+        s_avg = jnp.mean(y, axis=-1, keepdims=True)
+        m = nn.Dense(1, name="mix")(jnp.concatenate([s_max, s_avg], axis=-1))
+        w = jax.nn.sigmoid(m) * y                          # [B, L, C]
+        A = jax.nn.softmax(w @ u1, axis=-1)                # [B, L, p^2]
+        V = w @ u2                                         # [B, L, C]
+        return jnp.einsum("blp,blc->bpc", A, V)            # [B, p^2, C]
+
+
+class STF(nn.Module):
+    """Semantic token fuser (`st_mamba/ST_SSD.py:322-375`): injects the
+    original features back into the token stream via a learned gate."""
+    p: int
+    channels: int
+
+    @nn.compact
+    def __call__(self, z_feat, U):
+        # z_feat: [B, L, C] (original features); U: [B, p^2, C]
+        P = self.p ** 2
+        B, L, C = z_feat.shape
+        if L == P:
+            pooled = z_feat
+        else:  # adaptive average pool over L -> P (exact when divisible)
+            if L % P == 0:
+                pooled = z_feat.reshape(B, P, L // P, C).mean(axis=2)
+            else:
+                pooled = jax.image.resize(z_feat, (B, P, C), method="linear")
+        pooled = jax.nn.silu(pooled)                       # [B, P, C]
+        z_max = jnp.max(pooled, axis=-1, keepdims=True)
+        z_avg = jnp.mean(pooled, axis=-1, keepdims=True)
+        m = nn.Dense(1, name="mix")(jnp.concatenate([z_max, z_avg], axis=-1))
+        weighted = jax.nn.sigmoid(m) * pooled              # [B, P, C]
+        lz = self.param("z", nn.initializers.uniform(1.0), (self.channels, P))
+        Z = jax.nn.sigmoid(pooled @ lz)                    # [B, P, P]
+        return weighted + jnp.einsum("bpq,bqc->bpc", Z, U)
+
+
+class SS2DSSD(nn.Module):
+    """Mamba-2 (SSD) four-direction 2-D scan layer (NHWC in/out)."""
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 3
+    expand: int = 2
+    headdim: int = 64
+    ngroups: int = 1
+    d_ssm: Optional[int] = None     # None => all of d_inner is scanned
+    chunk_size: int = 256
+    rmsnorm: bool = True
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+    st_tokens: Optional[int] = None          # p for STL/STF/WMF (ST-SSD)
+    kan_in: bool = False                     # eKAN in_proj (kaninSSD)
+    kan_filter: bool = False                 # eKAN pre-filter (kanoutSSD)
+    kan_grid_size: int = 5
+    kan_spline_order: int = 1
+
+    @nn.compact
+    def __call__(self, u, train: bool = False):
+        from medical_image_classification_tpu.models.kan_modules import KANLinear
+
+        d_inner = self.expand * self.d_model
+        d_ssm = d_inner if self.d_ssm is None else self.d_ssm
+        nheads = d_ssm // self.headdim
+        G, N = self.ngroups, self.d_state
+        K = 4
+        Bb, H, W, _ = u.shape
+        L = H * W
+
+        if self.kan_filter:
+            u = KANLinear(self.d_model, grid_size=self.kan_grid_size,
+                          spline_order=self.kan_spline_order,
+                          name="filter_kan")(u)
+
+        d_in_proj = 2 * d_inner + 2 * G * N + nheads
+        if self.kan_in:
+            zxbcdt = KANLinear(d_in_proj, grid_size=self.kan_grid_size,
+                               spline_order=self.kan_spline_order,
+                               name="in_proj_kan")(u)
+        else:
+            zxbcdt = nn.Dense(d_in_proj, use_bias=self.bias,
+                              kernel_init=trunc_normal_02, name="in_proj")(u)
+        d_mlp = (d_in_proj - 2 * d_ssm - 2 * G * N - nheads) // 2
+        z0 = zxbcdt[..., :d_mlp]
+        x0 = zxbcdt[..., d_mlp:2 * d_mlp]
+        z = zxbcdt[..., 2 * d_mlp:2 * d_mlp + d_ssm]
+        xBCdt = zxbcdt[..., 2 * d_mlp + d_ssm:]
+
+        conv_dim = d_ssm + 2 * G * N + nheads
+        xBCdt = nn.Conv(conv_dim, (self.d_conv, self.d_conv), padding="SAME",
+                        feature_group_count=conv_dim, use_bias=self.conv_bias,
+                        kernel_init=kaiming_conv, name="conv2d")(xBCdt)
+        xBCdt = jax.nn.silu(xBCdt)
+
+        A_log = self.param("A_logs", a_log_init_uniform(), (K, nheads))
+        dt_b = self.param("dt_bias", dt_bias_init(), (K, nheads))
+        Ds = self.param("Ds", nn.initializers.ones, (K, nheads))
+
+        merge = self.st_tokens is None
+        y = ss2d_core_ssd(xBCdt, A_log, dt_b, Ds, d_ssm=d_ssm, ngroups=G,
+                          d_state=N, nheads=nheads, headdim=self.headdim,
+                          chunk_size=self.chunk_size, merge=merge)
+
+        if self.st_tokens is not None:
+            # ST-SSD tail (`ST_SSD.py:632-655`): per-direction semantic
+            # tokens, fused with the original features, weighted-merged.
+            p = self.st_tokens
+            assert p * p == L, f"st_tokens^2 ({p*p}) must equal L ({L})"
+            stl = STL(p=p, channels=d_ssm, name="stl")
+            stf = STF(p=p, channels=d_ssm, name="stf")
+            u_bn = nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, name="o_norm")(u)
+            # the reference keeps d_model channels here and adaptive-pools
+            # them up to d_ssm inside STF (`ST_SSD.py:505-506,334`); we let
+            # the 1x1 conv project straight to d_ssm instead — same role,
+            # no channel interpolation.
+            z_feat = nn.Conv(d_ssm, (1, 1), kernel_init=kaiming_conv,
+                             name="o_linear")(u_bn).reshape(Bb, L, -1)
+            outs = [stf(z_feat, stl(y[:, k].astype(u.dtype))) for k in range(4)]
+            kw = self.param("k_weights",
+                            lambda rng, s: jnp.full(s, 0.25), (4,))
+            w = jax.nn.softmax(kw)
+            y = sum(wi * oi for wi, oi in zip(w, outs))
+            y = y.reshape(Bb, H, W, -1)
+
+        y = y.astype(u.dtype)
+        if self.rmsnorm:
+            nw = self.param("norm_weight", nn.initializers.ones, (y.shape[-1],))
+            y = rmsnorm_gated(y, z, nw, group_size=y.shape[-1] // G)
+        else:
+            y = y * jax.nn.silu(z)
+        if d_mlp > 0:
+            y = jnp.concatenate([jax.nn.silu(z0) * x0, y], axis=-1)
+        out = nn.Dense(self.d_model, use_bias=self.bias,
+                       kernel_init=trunc_normal_02, name="out_proj")(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out

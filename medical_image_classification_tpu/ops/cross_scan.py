@@ -1,0 +1,89 @@
+"""4-direction 2-D cross-scan / cross-merge and the strided EfficientScan.
+
+TPU-native equivalents of the reference's direction handling
+(`/root/reference/MedMamba.py:393-395,420-424` and
+`/root/reference/CrossMamba/FusionMamba/models/cross.py:34-190`).
+
+Everything is channel-last ([B, H, W, C]); the four directions are
+  0: row-major           (scan H rows left→right, top→bottom)
+  1: column-major        (transpose: scan W columns top→bottom, left→right)
+  2: reversed row-major
+  3: reversed column-major
+The reference materialises flipped copies in HBM; here the flips/transposes
+are pure `jnp` reshapes+reverses which XLA fuses into the consumer — no extra
+HBM round-trip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cross_scan(x):
+    """[B, H, W, C] -> [B, 4, L, C] with L = H*W."""
+    Bb, H, W, C = x.shape
+    L = H * W
+    d0 = x.reshape(Bb, L, C)
+    d1 = jnp.swapaxes(x, 1, 2).reshape(Bb, L, C)
+    d2 = jnp.flip(d0, axis=1)
+    d3 = jnp.flip(d1, axis=1)
+    return jnp.stack([d0, d1, d2, d3], axis=1)
+
+
+def cross_merge(ys, H, W):
+    """Inverse of cross_scan followed by a sum over directions.
+
+    ys: [B, 4, L, C]  ->  [B, H, W, C]
+    """
+    Bb, K, L, C = ys.shape
+    assert K == 4 and L == H * W
+    y0 = ys[:, 0]
+    y1 = jnp.swapaxes(ys[:, 1].reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
+    y2 = jnp.flip(ys[:, 2], axis=1)
+    y3f = jnp.flip(ys[:, 3], axis=1)
+    y3 = jnp.swapaxes(y3f.reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
+    return (y0 + y1 + y2 + y3).reshape(Bb, H, W, C)
+
+
+def cross_merge_stack(ys, H, W):
+    """Like cross_merge but returns the 4 aligned maps stacked (no sum):
+    [B, 4, L, C] -> [B, 4, L, C], all in direction-0 (row-major) order.
+    Used by the ST-SSD weighted merge (WMF), which learns the combination
+    instead of summing (`/root/reference/st_mamba/ST_SSD.py:539-549`)."""
+    Bb, K, L, C = ys.shape
+    y0 = ys[:, 0]
+    y1 = jnp.swapaxes(ys[:, 1].reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
+    y2 = jnp.flip(ys[:, 2], axis=1)
+    y3f = jnp.flip(ys[:, 3], axis=1)
+    y3 = jnp.swapaxes(y3f.reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
+    return jnp.stack([y0, y1, y2, y3], axis=1)
+
+
+def efficient_scan(x, step: int = 2):
+    """Strided ("atrous") 4-way spatial subsampling scan.
+
+    [B, H, W, C] -> [B, 4, L/4, C]; subsequence k takes pixels at offset
+    (k % 2, k // 2) with stride `step` in each spatial dim.  TPU-native
+    rebuild of EfficientScan (`cross.py:139-190`): a pure strided-slice
+    (space-to-depth) instead of a hand-written autograd pair — JAX
+    differentiates the gather automatically.
+    """
+    Bb, H, W, C = x.shape
+    subs = [x[:, i::step, j::step, :] for j in range(step) for i in range(step)]
+    return jnp.stack([s.reshape(Bb, -1, C) for s in subs], axis=1)
+
+
+def efficient_merge(ys, H, W, step: int = 2):
+    """Inverse of efficient_scan (sums nothing — reassembles the image).
+
+    ys: [B, 4, L/4, C] -> [B, H, W, C]
+    """
+    Bb, K, Ls, C = ys.shape
+    h, w = H // step, W // step
+    out = jnp.zeros((Bb, H, W, C), dtype=ys.dtype)
+    idx = 0
+    for j in range(step):
+        for i in range(step):
+            out = out.at[:, i::step, j::step, :].set(ys[:, idx].reshape(Bb, h, w, C))
+            idx += 1
+    return out

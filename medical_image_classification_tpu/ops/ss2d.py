@@ -1,0 +1,147 @@
+"""Functional SS2D cores: the 2-D selective-scan op family.
+
+These are pure functions over (activations, parameters); the Flax modules in
+``models/`` own the parameters and call into here.  TPU-native rebuilds of:
+
+* ``ss2d_core_mamba1`` — `/root/reference/MedMamba.py:386-424` (forward_corev0)
+* ``ss2d_core_ssd``    — `/root/reference/CNN_Mamba.py:472-552` (SS2D_with_SSD
+  forward, SSD/Mamba-2 multi-head path)
+
+Both fold the K=4 scan directions into a single kernel invocation (directions
+become extra channels / heads / B-C groups), exactly one scan launch per op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from medical_image_classification_tpu.kernels.selective_scan import selective_scan
+from medical_image_classification_tpu.kernels.ssd import ssd_chunked
+from medical_image_classification_tpu.ops.cross_scan import (
+    cross_scan,
+    cross_merge,
+    cross_merge_stack,
+)
+
+
+def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
+                     d_state: int, dt_rank: int, impl: str = "auto",
+                     merge: bool = True):
+    """Mamba-1 4-direction 2-D scan.
+
+    x         : [B, H, W, D]  (post depthwise-conv + SiLU, channel-last)
+    x_proj_w  : [4, dt_rank + 2*d_state, D]   (shared Δ/B/C projection)
+    dt_proj_w : [4, D, dt_rank]
+    dt_proj_b : [4, D]
+    A_log     : [4, D, d_state]
+    Ds        : [4, D]
+
+    Returns [B, H, W, D] (sum of the four direction outputs, un-permuted), or
+    the aligned stack [B, 4, L, D] when ``merge=False`` (for WMF merges).
+
+    The K directions are folded into the channel axis of a single
+    selective-scan call: u [B, L, 4*D] with B/C as 4 groups — the same
+    batching trick as the reference's single ``selective_scan_fn`` call over
+    ``(b, k*d, l)`` (`MedMamba.py:411-417`).
+    """
+    Bb, H, W, D = x.shape
+    L = H * W
+    K = 4
+    xs = cross_scan(x)                                   # [B, 4, L, D]
+    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
+    dts = x_dbl[..., :dt_rank]
+    Bmat = x_dbl[..., dt_rank:dt_rank + d_state]
+    Cmat = x_dbl[..., dt_rank + d_state:]
+    dts = jnp.einsum("bklr,kdr->bkld", dts, dt_proj_w)
+
+    # fold K into channels (direction-major channel order)
+    u = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * D)
+    delta = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * D)
+    Bg = jnp.swapaxes(Bmat, 1, 2)                        # [B, L, 4, n] — 4 groups
+    Cg = jnp.swapaxes(Cmat, 1, 2)
+    A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * D, d_state)
+
+    y = selective_scan(u, delta, A, Bg, Cg,
+                       D=Ds.astype(jnp.float32).reshape(K * D),
+                       delta_bias=dt_proj_b.astype(jnp.float32).reshape(K * D),
+                       delta_softplus=True, impl=impl)    # [B, L, 4*D] fp32
+    ys = jnp.swapaxes(y.reshape(Bb, L, K, D), 1, 2)       # [B, 4, L, D]
+    if merge:
+        return cross_merge(ys, H, W)
+    return cross_merge_stack(ys, H, W)
+
+
+def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
+                  d_state: int, nheads: int, headdim: int,
+                  chunk_size: int = 256, merge: bool = True):
+    """Mamba-2 (SSD) 4-direction 2-D scan.
+
+    xBCdt  : [B, H, W, d_ssm + 2*ngroups*d_state + nheads]
+             (post depthwise-conv + SiLU; channel layout [x | B | C | dt])
+    A_log  : [4, nheads]
+    dt_bias: [4, nheads]
+    Ds     : [4, nheads]  (or [4, d_ssm] if D has headdim)
+
+    Directions fold into heads AND B/C groups (direction-major), so one
+    ``ssd_chunked`` call covers all four scans with clean per-direction
+    state.  (The reference instead reshapes B/C with g=ngroups after
+    flattening K — concatenating all directions' B/C into one 4*d_state
+    state shared by every head, `CNN_Mamba.py:515-521`; that is an accident
+    of flattening we deliberately do not reproduce.  See SURVEY §2.2 S2.)
+    """
+    Bb, H, W, Cc = xBCdt.shape
+    L = H * W
+    K = 4
+    gn = ngroups * d_state
+    xs_all = cross_scan(xBCdt)                           # [B, 4, L, Cc]
+    xs = xs_all[..., :d_ssm]
+    Bmat = xs_all[..., d_ssm:d_ssm + gn]
+    Cmat = xs_all[..., d_ssm + gn:d_ssm + 2 * gn]
+    dts = xs_all[..., d_ssm + 2 * gn:]
+
+    # direction-major folds: heads h = (k, head), groups g = (k, group)
+    xh = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * nheads, headdim)
+    Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
+    Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
+    dth = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * nheads)
+
+    A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * nheads)
+    Df = Ds.astype(jnp.float32).reshape(-1)
+    if Df.shape[0] == K * d_ssm:                          # D_has_hdim
+        Df = Df.reshape(K * nheads, headdim)
+
+    y = ssd_chunked(xh, dth, A, Bh, Ch, chunk_size=chunk_size, D=Df,
+                    dt_bias=dt_bias.astype(jnp.float32).reshape(K * nheads),
+                    dt_softplus=True)                     # [B, L, K*nheads, headdim]
+    ys = jnp.swapaxes(y.reshape(Bb, L, K, d_ssm), 1, 2)   # [B, 4, L, d_ssm]
+    if merge:
+        return cross_merge(ys, H, W)
+    return cross_merge_stack(ys, H, W)
+
+
+def rmsnorm_gated(x, z, weight, *, eps: float = 1e-5,
+                  norm_before_gate: bool = False, group_size=None):
+    """Gated RMSNorm (reference Triton kernel K9,
+    `mamba_ssm/ops/triton/layernorm.py:481`): on TPU this is a handful of
+    VPU ops that XLA fuses — no custom kernel needed.
+
+    norm_before_gate=False (the models' setting): out = rmsnorm(x * silu(z)).
+    """
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    if z is not None and not norm_before_gate:
+        x = x * jax.nn.silu(z.astype(jnp.float32))
+    d = x.shape[-1]
+    if group_size is None or group_size == d:
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(var + eps)
+    else:
+        g = d // group_size
+        xg = x.reshape(x.shape[:-1] + (g, group_size))
+        var = jnp.mean(jnp.square(xg), axis=-1, keepdims=True)
+        y = (xg * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    y = y * weight.astype(jnp.float32)
+    if z is not None and norm_before_gate:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(dtype)

@@ -1,0 +1,38 @@
+"""Device mesh construction for DP x TP execution.
+
+Replaces the reference's process-group plumbing
+(`/root/reference/ddp_train.py:77-81`, NCCL) with a `jax.sharding.Mesh`:
+mesh axes *are* the process groups.  Axis names:
+
+  'data'  — batch sharding (DP; psum of grads is inserted by GSPMD)
+  'model' — tensor parallelism of d_inner / heads (the reference's
+            ColumnParallel/RowParallelLinear world, `CNN_Mamba.py:386-392`)
+
+On multi-host deployments call `jax.distributed.initialize()` first; the
+mesh then spans all hosts and ICI/DCN routing is XLA's problem, not ours.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(tp: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % tp:
+        raise ValueError(f"{n} devices not divisible by tp={tp}")
+    arr = np.array(devices).reshape(n // tp, tp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

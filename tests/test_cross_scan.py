@@ -1,0 +1,51 @@
+"""Inverse-property tests for cross-scan / efficient-scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medical_image_classification_tpu.ops import (
+    cross_scan, cross_merge, cross_merge_stack,
+    efficient_scan, efficient_merge,
+)
+
+
+def test_cross_scan_shapes_and_directions():
+    x = jnp.arange(2 * 3 * 4 * 5, dtype=jnp.float32).reshape(2, 3, 4, 5)
+    xs = cross_scan(x)
+    assert xs.shape == (2, 4, 12, 5)
+    # dir0 row-major
+    np.testing.assert_array_equal(np.asarray(xs[0, 0, 1]), np.asarray(x[0, 0, 1]))
+    # dir1 column-major: element 1 is x[1, 0]
+    np.testing.assert_array_equal(np.asarray(xs[0, 1, 1]), np.asarray(x[0, 1, 0]))
+    # dir2 is dir0 reversed
+    np.testing.assert_array_equal(np.asarray(xs[:, 2]),
+                                  np.asarray(jnp.flip(xs[:, 0], axis=1)))
+
+
+def test_cross_merge_inverts_scan():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 7, 5, 6))
+    xs = cross_scan(x)
+    merged = cross_merge(xs, 7, 5)
+    # each direction inverts back to x, so merge == 4x
+    np.testing.assert_allclose(np.asarray(merged), 4 * np.asarray(x), rtol=1e-6)
+    stacked = cross_merge_stack(xs, 7, 5)
+    for k in range(4):
+        np.testing.assert_allclose(np.asarray(stacked[:, k]),
+                                   np.asarray(x.reshape(2, 35, 6)), rtol=1e-6)
+
+
+def test_efficient_scan_roundtrip():
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, 8, 6, 4))
+    ys = efficient_scan(x, step=2)
+    assert ys.shape == (2, 4, 12, 4)
+    back = efficient_merge(ys, 8, 6, step=2)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-6)
+
+
+def test_cross_scan_grad_flows():
+    x = jnp.ones((1, 4, 4, 2))
+    g = jax.grad(lambda v: jnp.sum(cross_merge(cross_scan(v), 4, 4)))(x)
+    np.testing.assert_allclose(np.asarray(g), 4.0 * np.ones_like(np.asarray(g)))
