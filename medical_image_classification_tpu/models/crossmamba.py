@@ -1,0 +1,359 @@
+"""CrossMamba dual-branch fusion family.
+
+TPU-native rebuilds of:
+
+* ``CrossMamba``           — content-aware cross-parameterised dual-input SSD
+  core (`/root/reference/CrossMamba/CrossMamba_fusion_2b2.py:54-385`): each
+  branch scans its *own* x-sequence but draws (B, C, dt) from the other /
+  fused branch.  All projections are shared between branches.
+* ``DownLayer``/``UpLayer``— fusion U-Net stages (`:836-1075`)
+* ``FusionVFEFM``          — dual-branch U-Net emitting a 1-channel fused
+  image (`:1078-1285`); ``single_decoder=True`` gives the `_2c1` variant
+  (branches merged before one decoder, `CrossMamba_fusion_2c1.py:986-1026`).
+* ``CrossVSSMClassifier``  — dual-branch classifier with CrossMamba fusion
+  after stage 3 (`CrossMamba_3e1f1eadd.py:755-987`) or at every stage
+  (`CrossMamba_4ef.py:756-867`), selected by ``fuse_mode``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from medical_image_classification_tpu.models.common import (
+    DropPath,
+    FinalPatchExpand,
+    PatchEmbed,
+    PatchExpand,
+    PatchMerging,
+    kaiming_conv,
+    trunc_normal_02,
+)
+from medical_image_classification_tpu.models.ss2d_modules import (
+    a_log_init_uniform,
+    dt_bias_init,
+)
+from medical_image_classification_tpu.models.vssm import SSConvBlock
+from medical_image_classification_tpu.ops.ss2d import ss2d_core_ssd, rmsnorm_gated
+
+
+class CrossMamba(nn.Module):
+    """Dual-input SSD core with cross parameterisation (shared weights)."""
+    d_model: int
+    d_state: int = 128
+    d_conv: int = 3
+    expand: int = 2
+    headdim: int = 64
+    ngroups: int = 1
+    chunk_size: int = 256
+    rmsnorm: bool = True
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, u1, u2, u2_cat_u1, u1_cat_u2, train: bool = False):
+        d_inner = self.expand * self.d_model
+        d_ssm = d_inner
+        nheads = d_ssm // self.headdim
+        G, N = self.ngroups, self.d_state
+        K = 4
+
+        # shared projections (`CrossMamba_fusion_2b2.py:128-136`)
+        skip_proj = nn.Dense(2 * d_inner - d_ssm, use_bias=self.bias,
+                             kernel_init=trunc_normal_02, name="skip_in_proj")
+        xs_proj = nn.Dense(d_ssm, use_bias=self.bias,
+                           kernel_init=trunc_normal_02, name="xs_in_proj")
+        bcdt_proj = nn.Dense(2 * G * N + nheads, use_bias=self.bias,
+                             kernel_init=trunc_normal_02, name="BCdts_in_proj")
+        xs_conv = nn.Conv(d_ssm, (self.d_conv, self.d_conv), padding="SAME",
+                          feature_group_count=d_ssm, use_bias=self.conv_bias,
+                          kernel_init=kaiming_conv, name="xs_conv2d")
+        d_bc = 2 * G * N + nheads
+        bcdt_conv = nn.Conv(d_bc, (self.d_conv, self.d_conv), padding="SAME",
+                            feature_group_count=d_bc, use_bias=self.conv_bias,
+                            kernel_init=kaiming_conv, name="BCdts_conv2d")
+
+        A_log = self.param("A_logs", a_log_init_uniform(), (K, nheads))
+        dt_b = self.param("dt_bias", dt_bias_init(), (K, nheads))
+        Ds = self.param("Ds", nn.initializers.ones, (K, nheads))
+        norm_w = (self.param("norm_weight", nn.initializers.ones, (d_ssm,))
+                  if self.rmsnorm else None)
+        out_proj = nn.Dense(self.d_model, use_bias=self.bias,
+                            kernel_init=trunc_normal_02, name="out_proj")
+        d_mlp = ((2 * d_inner - d_ssm) - d_ssm) // 2   # 0 when d_ssm == d_inner
+
+        def branch(u_own, u_cross):
+            zx = skip_proj(u_own)
+            z0 = zx[..., :d_mlp]
+            x0 = zx[..., d_mlp:2 * d_mlp]
+            z = zx[..., 2 * d_mlp:]
+            xs = jax.nn.silu(xs_conv(xs_proj(u_own)))
+            bcdt = jax.nn.silu(bcdt_conv(bcdt_proj(u_cross)))
+            xBCdt = jnp.concatenate([xs, bcdt], axis=-1)
+            y = ss2d_core_ssd(xBCdt, A_log, dt_b, Ds, d_ssm=d_ssm,
+                              ngroups=G, d_state=N, nheads=nheads,
+                              headdim=self.headdim,
+                              chunk_size=self.chunk_size).astype(u_own.dtype)
+            if self.rmsnorm:
+                y = rmsnorm_gated(y, z, norm_w, group_size=d_ssm // G)
+            else:
+                y = y * jax.nn.silu(z)
+            if d_mlp > 0:
+                y = jnp.concatenate([jax.nn.silu(z0) * x0, y], axis=-1)
+            out = out_proj(y)
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            return out
+
+        return branch(u1, u2_cat_u1), branch(u2, u1_cat_u2)
+
+
+def _cat_inputs(x1, x2, method: str, proj):
+    """Build the cross inputs per cat_method (`:920-931`)."""
+    if method == "none":
+        return x2, x1
+    if method == "add":
+        s = x1 + x2
+        return s, s
+    if method == "stack":
+        u = proj(jnp.concatenate([x1, x2], axis=-1))
+        return u, u
+    return x2, x1
+
+
+class DownLayer(nn.Module):
+    """Encoder stage of the fusion U-Net (`CrossMamba_fusion_2b2.py:836-946`):
+    per-branch SS-Conv-SSD blocks → cat_method merge → CrossMamba → residual
+    → (skip collected) → shared-structure downsample."""
+    dim: int
+    depth: int
+    cat_method: str = "stack"
+    d_state: int = 128
+    ssd_headdim: int = 64
+    drop_paths: Sequence[float] = ()
+    downsample: bool = True
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        for i in range(self.depth):
+            dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
+            x1 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
+                             d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                             name=f"blocks1_{i}")(x1, train)
+            x2 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
+                             d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                             name=f"blocks2_{i}")(x2, train)
+        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
+                if self.cat_method == "stack" else None)
+        c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
+        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.d_state,
+                            headdim=self.ssd_headdim,
+                            name="fusion")(x1, x2, c1, c2, train=train)
+        f1, f2 = x1 + f1, x2 + f2
+        skip = (x1, x2)
+        if self.downsample:
+            f1 = PatchMerging(name="downsample1")(f1)
+            f2 = PatchMerging(name="downsample2")(f2)
+        return f1, f2, skip
+
+
+class UpLayer(nn.Module):
+    """Decoder stage (`:949-1075`): PatchExpand ×2 → skip-concat+proj →
+    blocks → CrossMamba fusion + residual."""
+    dim: int                      # block width (post-upsample channels)
+    depth: int
+    cat_method: str = "stack"
+    d_state: int = 128
+    ssd_headdim: int = 64
+    drop_paths: Sequence[float] = ()
+    upsample: bool = True
+    skip: bool = True
+
+    @nn.compact
+    def __call__(self, x1, x2, s1, s2, train: bool = False):
+        if self.upsample:
+            x1 = PatchExpand(name="upsample1")(x1)
+            x2 = PatchExpand(name="upsample2")(x2)
+        if self.skip:
+            x1 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                          name="in_proj1")(jnp.concatenate([x1, s1], axis=-1))
+            x2 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                          name="in_proj2")(jnp.concatenate([x2, s2], axis=-1))
+        for i in range(self.depth):
+            dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
+            x1 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
+                             d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                             name=f"blocks1_{i}")(x1, train)
+            x2 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
+                             d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                             name=f"blocks2_{i}")(x2, train)
+        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
+                if self.cat_method == "stack" else None)
+        c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
+        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.d_state,
+                            headdim=self.ssd_headdim,
+                            name="fusion")(x1, x2, c1, c2, train=train)
+        return x1 + f1, x2 + f2
+
+
+class FusionVFEFM(nn.Module):
+    """Dual-branch image-fusion U-Net (CT/MRI → fused image).
+
+    Input/output NHWC: (x1 [B,H,W,C], x2 [B,H,W,C]) -> [B,H,W,1].
+    ``single_decoder=True`` = the `_2c1` wiring: branches merged after the
+    bridge, one decoder stream.
+    """
+    patch_size: int = 4
+    depths: Sequence[int] = (2, 2, 4, 2)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    depths_decoder: Sequence[int] = (2, 9, 2, 2)
+    dims_decoder: Sequence[int] = (1024, 512, 256, 128)
+    d_state: int = 128
+    ssd_headdim: int = 64
+    cat_method: str = "stack"
+    drop_path_rate: float = 0.1
+    single_decoder: bool = False
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        nl = len(self.depths)
+        x1 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed1")(x1)
+        x2 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed2")(x2)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        skips = []
+        p = 0
+        for i in range(nl):
+            d = self.depths[i]
+            x1, x2, skip = DownLayer(
+                dim=self.dims[i], depth=d, cat_method=self.cat_method,
+                d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                drop_paths=tuple(dpr[p:p + d]), downsample=(i < nl - 1),
+                name=f"layers_{i}")(x1, x2, train)
+            skips.append(skip)
+            p += d
+
+        # 1x1 conv bridges (`:1189-1190`)
+        x1 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
+                     name="bridge1")(x1)
+        x2 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
+                     name="bridge2")(x2)
+        if self.single_decoder:
+            merged = nn.Dense(self.dims_decoder[0], kernel_init=trunc_normal_02,
+                              name="merge_proj")(
+                jnp.concatenate([x1, x2], axis=-1))
+            x1 = x2 = merged
+
+        nd = len(self.depths_decoder)
+        dpr_d = np.linspace(0, self.drop_path_rate,
+                            sum(self.depths_decoder)).tolist()
+        skips_rev = list(reversed(skips))
+        p = 0
+        for j in range(nd):
+            d = self.depths_decoder[j]
+            ups = j < nd - 1
+            block_dim = (self.dims_decoder[j] // 2 if ups
+                         else self.dims_decoder[j])
+            if j == 0:
+                s1 = s2 = None
+                use_skip = False
+            else:
+                # match the skip whose spatial size equals the post-upsample
+                # size (`:1249-1266`); statically resolvable here.
+                use_skip = True
+                s1, s2 = skips_rev[j]
+            x1, x2 = UpLayer(
+                dim=block_dim, depth=d, cat_method=self.cat_method,
+                d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                drop_paths=tuple(dpr_d[p:p + d]), upsample=ups,
+                skip=use_skip, name=f"layers_up_{j}")(x1, x2, s1, s2, train)
+            p += d
+
+        x = nn.LayerNorm(name="norm")(jnp.concatenate([x1, x2], axis=-1))
+        x = nn.Dense(self.dims_decoder[-1], kernel_init=trunc_normal_02,
+                     name="final_cat_proj")(x)
+        x = FinalPatchExpand(name="final_expand")(x)
+        out = nn.Conv(1, (1, 1), kernel_init=kaiming_conv,
+                      name="final_conv")(x)
+        return out
+
+
+class CrossVSSMClassifier(nn.Module):
+    """Dual-branch CrossMamba classifier.
+
+    fuse_mode='stage3': two parallel encoders, CrossMamba fusion after the
+    3rd stage, shared downsample, stage 4, additive merge → pool → head
+    (`CrossMamba_3e1f1eadd.py:937-987`).
+    fuse_mode='all': CrossMamba fusion with residual at EVERY stage
+    (`CrossMamba_4ef.py:756-867`).
+    """
+    num_classes: int
+    patch_size: int = 4
+    depths: Sequence[int] = (2, 2, 4, 2)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    d_state: int = 16
+    ssd_headdim: int = 64
+    cat_method: str = "stack"
+    fuse_mode: str = "stage3"
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        nl = len(self.depths)
+        x1 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed1")(x1)
+        x2 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed2")(x2)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+
+        def stage_blocks(x, i, branch):
+            p = sum(self.depths[:i])
+            for k in range(self.depths[i]):
+                x = SSConvBlock(hidden_dim=self.dims[i], drop_path=dpr[p + k],
+                                core="ssd", d_state=self.d_state,
+                                ssd_headdim=self.ssd_headdim,
+                                name=f"layers{branch}_{i}_blocks_{k}")(x, train)
+            return x
+
+        if self.fuse_mode == "all":
+            for i in range(nl):
+                x1 = stage_blocks(x1, i, 1)
+                x2 = stage_blocks(x2, i, 2)
+                proj = (nn.Dense(self.dims[i], kernel_init=trunc_normal_02,
+                                 name=f"cat_proj_{i}")
+                        if self.cat_method == "stack" else None)
+                c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
+                f1, f2 = CrossMamba(d_model=self.dims[i], d_state=128,
+                                    headdim=self.ssd_headdim,
+                                    name=f"fusion_{i}")(x1, x2, c1, c2,
+                                                        train=train)
+                x1, x2 = x1 + f1, x2 + f2
+                if i < nl - 1:
+                    x1 = PatchMerging(name=f"down1_{i}")(x1)
+                    x2 = PatchMerging(name=f"down2_{i}")(x2)
+        else:  # stage3
+            for i in range(nl - 1):
+                x1 = stage_blocks(x1, i, 1)
+                x2 = stage_blocks(x2, i, 2)
+                if i < nl - 2:
+                    x1 = PatchMerging(name=f"down1_{i}")(x1)
+                    x2 = PatchMerging(name=f"down2_{i}")(x2)
+            proj = (nn.Dense(self.dims[-2], kernel_init=trunc_normal_02,
+                             name="cat_proj")
+                    if self.cat_method == "stack" else None)
+            c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
+            x1, x2 = CrossMamba(d_model=self.dims[-2], d_state=128,
+                                headdim=self.ssd_headdim,
+                                name="fusion")(x1, x2, c1, c2, train=train)
+            x1 = PatchMerging(name="downsample1")(x1)
+            x2 = PatchMerging(name="downsample2")(x2)
+            x1 = stage_blocks(x1, nl - 1, 1)
+            x2 = stage_blocks(x2, nl - 1, 2)
+
+        x = x1 + x2
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
+                        name="head")(x)
