@@ -13,8 +13,11 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp

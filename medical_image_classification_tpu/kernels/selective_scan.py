@@ -174,7 +174,7 @@ def selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     if impl == "pallas":
         from medical_image_classification_tpu.kernels.selective_scan_pallas import (
             selective_scan_pallas, pallas_supported)
-        if pallas_supported(u, A, B):
+        if pallas_supported(u, A, B, z, delta_softplus, return_last_state):
             return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                                          delta_softplus, return_last_state)
         impl = "xla"

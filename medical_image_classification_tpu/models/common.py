@@ -53,12 +53,14 @@ class PatchEmbed(nn.Module):
     patch_size: int = 4
     embed_dim: int = 96
     use_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
-                    padding="VALID", kernel_init=kaiming_conv, name="proj")(x)
+                    padding="VALID", kernel_init=kaiming_conv,
+                    dtype=self.dtype, name="proj")(x)
         if self.use_norm:
             x = nn.LayerNorm(name="norm")(x)
         return x
@@ -69,6 +71,7 @@ class PatchMerging(nn.Module):
 
     Odd spatial sizes are cropped to even (the reference prints a warning and
     crops; we crop silently — shapes are static under jit anyway)."""
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +85,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(name="norm")(x)
         x = nn.Dense(2 * c, use_bias=False, kernel_init=trunc_normal_02,
-                     name="reduction")(x)
+                     dtype=self.dtype, name="reduction")(x)
         return x
 
 
@@ -129,14 +132,17 @@ class ConvBranch(nn.Module):
     collection (reference DDP runs unsynced BN; under GSPMD jit the batch
     stats are computed over the *global* batch, which is strictly better)."""
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dim
         norm = lambda nm: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-5, name=nm)
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=nm)
         conv = lambda k, nm: nn.Conv(d, kernel_size=(k, k), padding="SAME",
-                                     kernel_init=kaiming_conv, name=nm)
+                                     kernel_init=kaiming_conv,
+                                     dtype=self.dtype, name=nm)
         x = norm("bn0")(x)
         x = conv(3, "conv1")(x)
         x = nn.relu(norm("bn1")(x))

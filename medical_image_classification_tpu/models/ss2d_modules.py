@@ -89,6 +89,7 @@ class SS2D(nn.Module):
     conv_bias: bool = True
     bias: bool = False
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,12 +98,13 @@ class SS2D(nn.Module):
         N = self.d_state
         K = 4
 
-        xz = nn.Dense(2 * d_inner, use_bias=self.bias,
+        xz = nn.Dense(2 * d_inner, use_bias=self.bias, dtype=self.dtype,
                       kernel_init=trunc_normal_02, name="in_proj")(x)
         xpart, z = jnp.split(xz, 2, axis=-1)
         xpart = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
                         feature_group_count=d_inner, use_bias=self.conv_bias,
-                        kernel_init=kaiming_conv, name="conv2d")(xpart)
+                        kernel_init=kaiming_conv, dtype=self.dtype,
+                        name="conv2d")(xpart)
         xpart = jax.nn.silu(xpart)
 
         x_proj_w = self.param("x_proj_weight", torch_linear_rowmajor,
@@ -117,7 +119,7 @@ class SS2D(nn.Module):
                              d_state=N, dt_rank=R, impl=self.scan_impl)
         y = nn.LayerNorm(name="out_norm")(y.astype(x.dtype))
         y = y * jax.nn.silu(z)
-        out = nn.Dense(self.d_model, use_bias=self.bias,
+        out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="out_proj")(y)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -194,6 +196,7 @@ class SS2DSSD(nn.Module):
     kan_filter: bool = False                 # eKAN pre-filter (kanoutSSD)
     kan_grid_size: int = 5
     kan_spline_order: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, u, train: bool = False):
@@ -218,7 +221,7 @@ class SS2DSSD(nn.Module):
                                spline_order=self.kan_spline_order,
                                name="in_proj_kan")(u)
         else:
-            zxbcdt = nn.Dense(d_in_proj, use_bias=self.bias,
+            zxbcdt = nn.Dense(d_in_proj, use_bias=self.bias, dtype=self.dtype,
                               kernel_init=trunc_normal_02, name="in_proj")(u)
         d_mlp = (d_in_proj - 2 * d_ssm - 2 * G * N - nheads) // 2
         z0 = zxbcdt[..., :d_mlp]
@@ -229,7 +232,8 @@ class SS2DSSD(nn.Module):
         conv_dim = d_ssm + 2 * G * N + nheads
         xBCdt = nn.Conv(conv_dim, (self.d_conv, self.d_conv), padding="SAME",
                         feature_group_count=conv_dim, use_bias=self.conv_bias,
-                        kernel_init=kaiming_conv, name="conv2d")(xBCdt)
+                        kernel_init=kaiming_conv, dtype=self.dtype,
+                        name="conv2d")(xBCdt)
         xBCdt = jax.nn.silu(xBCdt)
 
         A_log = self.param("A_logs", a_log_init_uniform(), (K, nheads))
@@ -271,7 +275,7 @@ class SS2DSSD(nn.Module):
             y = y * jax.nn.silu(z)
         if d_mlp > 0:
             y = jnp.concatenate([jax.nn.silu(z0) * x0, y], axis=-1)
-        out = nn.Dense(self.d_model, use_bias=self.bias,
+        out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="out_proj")(y)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -55,6 +55,7 @@ class SSConvBlock(nn.Module):
     kan_spline_order: int = 1
     attn_drop: float = 0.0
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,7 +64,8 @@ class SSConvBlock(nn.Module):
         r = nn.LayerNorm(epsilon=1e-6, name="ln_1")(right)
         if self.core == "mamba1":
             r = SS2D(d_model=half, d_state=self.d_state, dropout=self.attn_drop,
-                     scan_impl=self.scan_impl, name="self_attention")(r, train=train)
+                     scan_impl=self.scan_impl, dtype=self.dtype,
+                     name="self_attention")(r, train=train)
         elif self.core == "ssd":
             r = SS2DSSD(d_model=half, d_state=self.d_state,
                         headdim=self.ssd_headdim,
@@ -71,11 +73,12 @@ class SSConvBlock(nn.Module):
                         st_tokens=self.st_tokens, kan_in=self.kan_in,
                         kan_filter=self.kan_filter,
                         kan_spline_order=self.kan_spline_order,
+                        dtype=self.dtype,
                         name="self_attention")(r, train=train)
         else:
             raise ValueError(f"unknown core: {self.core}")
         r = DropPath(self.drop_path, name="drop_path")(r, deterministic=not train)
-        l = ConvBranch(half, name="conv_branch")(left, train=train)
+        l = ConvBranch(half, dtype=self.dtype, name="conv_branch")(left, train=train)
         out = jnp.concatenate([l, r], axis=-1)
         out = channel_shuffle(out, 2)
         return out + x
@@ -98,6 +101,7 @@ class VSSLayer(nn.Module):
     downsample: bool = True
     use_checkpoint: bool = False
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,7 +116,8 @@ class VSSLayer(nn.Module):
                       st_tokens=self.st_tokens, kan_in=self.kan_in,
                       kan_filter=self.kan_filter,
                       kan_spline_order=self.kan_spline_order,
-                      scan_impl=self.scan_impl, name=f"blocks_{i}")(x, train)
+                      scan_impl=self.scan_impl, dtype=self.dtype,
+                      name=f"blocks_{i}")(x, train)
         self.sow("intermediates", "stage_out", x)
         # zero-valued perturbation hook: grad w.r.t. it == grad w.r.t. the
         # stage activation (Grad-CAM; replaces the reference's backward
@@ -120,7 +125,7 @@ class VSSLayer(nn.Module):
         # is passed to apply().
         x = self.perturb("stage_perturb", x)
         if self.downsample:
-            x = PatchMerging(name="downsample")(x)
+            x = PatchMerging(dtype=self.dtype, name="downsample")(x)
         return x
 
 
@@ -147,14 +152,18 @@ class VSSM(nn.Module):
     kan_spline_order: int = 1
     head: str = "linear"
     scan_impl: str = "auto"
+    dtype: object = None          # compute dtype (bf16 on TPU); params fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_grid: bool = False):
         nl = len(self.depths)
         if self.conv_stem:
             x = ConvTConvPW(channels=x.shape[-1], name="conv_t_conv")(x, train=train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = PatchEmbed(patch_size=self.patch_size, embed_dim=self.dims[0],
-                       use_norm=self.patch_norm, name="patch_embed")(x)
+                       use_norm=self.patch_norm, dtype=self.dtype,
+                       name="patch_embed")(x)
         if self.use_mifa:
             x = MIFABlock(self.dims[0], name="mifa")(x)
         if self.drop_rate > 0:
@@ -172,8 +181,9 @@ class VSSM(nn.Module):
                 kan_in=self.kan_in, kan_filter=self.kan_filter,
                 kan_spline_order=self.kan_spline_order,
                 downsample=(i < nl - 1), use_checkpoint=self.use_checkpoint,
-                scan_impl=self.scan_impl, name=f"layers_{i}")(x, train)
-        x = jnp.mean(x, axis=(1, 2))               # global average pool
+                scan_impl=self.scan_impl, dtype=self.dtype,
+                name=f"layers_{i}")(x, train)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # global avg pool
         return ClassifierHead(self.num_classes, kind=self.head,
                               ekan_spline_order=self.kan_spline_order,
                               name="classifier")(x, train=train,

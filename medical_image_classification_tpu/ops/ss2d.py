@@ -55,18 +55,29 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     Cmat = x_dbl[..., dt_rank + d_state:]
     dts = jnp.einsum("bklr,kdr->bkld", dts, dt_proj_w)
 
-    # fold K into channels (direction-major channel order)
-    u = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * D)
-    delta = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * D)
-    Bg = jnp.swapaxes(Bmat, 1, 2)                        # [B, L, 4, n] — 4 groups
-    Cg = jnp.swapaxes(Cmat, 1, 2)
-    A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * D, d_state)
-
-    y = selective_scan(u, delta, A, Bg, Cg,
-                       D=Ds.astype(jnp.float32).reshape(K * D),
-                       delta_bias=dt_proj_b.astype(jnp.float32).reshape(K * D),
-                       delta_softplus=True, impl=impl)    # [B, L, 4*D] fp32
-    ys = jnp.swapaxes(y.reshape(Bb, L, K, D), 1, 2)       # [B, 4, L, D]
+    from medical_image_classification_tpu.kernels.selective_scan_pallas import (
+        pallas_folded_supported, selective_scan_pallas_folded)
+    if impl in ("auto", "pallas") and pallas_folded_supported(L, D, d_state):
+        # directions fold into the sequence axis — [B, K, L, D] is already
+        # the kernel's native layout, zero extra data movement.
+        A_neg = -jnp.exp(A_log.astype(jnp.float32))      # [K, D, n]
+        y4 = selective_scan_pallas_folded(
+            xs.reshape(Bb * K, L, D), dts.reshape(Bb * K, L, D), A_neg,
+            Bmat.reshape(Bb * K, L, d_state), Cmat.reshape(Bb * K, L, d_state),
+            Ds.astype(jnp.float32), dt_proj_b.astype(jnp.float32))
+        ys = y4.reshape(Bb, K, L, D)
+    else:
+        # fold K into channels (direction-major channel order)
+        u = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * D)
+        delta = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * D)
+        Bg = jnp.swapaxes(Bmat, 1, 2)                    # [B, L, 4, n] groups
+        Cg = jnp.swapaxes(Cmat, 1, 2)
+        A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * D, d_state)
+        y = selective_scan(u, delta, A, Bg, Cg,
+                           D=Ds.astype(jnp.float32).reshape(K * D),
+                           delta_bias=dt_proj_b.astype(jnp.float32).reshape(K * D),
+                           delta_softplus=True, impl=impl)  # [B, L, 4*D] fp32
+        ys = jnp.swapaxes(y.reshape(Bb, L, K, D), 1, 2)  # [B, 4, L, D]
     if merge:
         return cross_merge(ys, H, W)
     return cross_merge_stack(ys, H, W)

@@ -1,0 +1,85 @@
+"""Golden tests for the Pallas selective-scan kernel (interpreter mode on
+CPU — the TPU analogue of the reference's CUDA-vs-reference equivalence
+suite, SURVEY §4/§5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import medical_image_classification_tpu.kernels.selective_scan_pallas as ssp
+from medical_image_classification_tpu.kernels.selective_scan import (
+    selective_scan_xla,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(ssp, "_INTERPRET", True)
+
+
+def _make(rng, batch, K, L, Dm, N):
+    ks = jax.random.split(rng, 7)
+    G = batch * K
+    u = jax.random.normal(ks[0], (G, L, Dm))
+    delta = 0.5 * jax.random.normal(ks[1], (G, L, Dm))
+    A = -jnp.exp(jax.random.normal(ks[2], (K, Dm, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    D = jax.random.normal(ks[5], (K, Dm))
+    bias = 0.1 * jax.random.normal(ks[6], (K, Dm))
+    return u, delta, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("L", [64, 100, 196])
+@pytest.mark.parametrize("Dm", [128, 96])
+def test_pallas_fwd_matches_xla(L, Dm):
+    rng = jax.random.PRNGKey(L + Dm)
+    u, delta, A, B, C, D, bias = _make(rng, 1, 2, L, Dm, 8)
+    y = ssp.selective_scan_pallas_folded(u, delta, A, B, C, D, bias)
+    y_ref = ssp._xla_equivalent(u, delta, A, B, C, D, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_generic_entry_matches_xla():
+    from medical_image_classification_tpu.kernels.selective_scan import (
+        selective_scan_seq)
+    rng = jax.random.PRNGKey(0)
+    batch, K, L, Dm, N = 2, 4, 80, 32, 4
+    ks = jax.random.split(rng, 6)
+    u = jax.random.normal(ks[0], (batch, L, K * Dm))
+    delta = 0.5 * jax.random.normal(ks[1], (batch, L, K * Dm))
+    A = -jnp.exp(jax.random.normal(ks[2], (K * Dm, N)) * 0.5)
+    B = jax.random.normal(ks[3], (batch, L, K, N))
+    C = jax.random.normal(ks[4], (batch, L, K, N))
+    D = jax.random.normal(ks[5], (K * Dm,))
+    bias = jnp.full((K * Dm,), 0.05)
+    y = ssp.selective_scan_pallas(u, delta, A, B, C, D=D, delta_bias=bias,
+                                  delta_softplus=True)
+    y_ref = selective_scan_seq(u, delta, A, B, C, D=D, delta_bias=bias,
+                               delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_grads_match_xla_path():
+    rng = jax.random.PRNGKey(7)
+    u, delta, A, B, C, D, bias = _make(rng, 1, 2, 64, 32, 4)
+
+    def loss(fn):
+        return lambda args: jnp.sum(jnp.sin(fn(*args)))
+
+    args = (u, delta, A, B, C, D, bias)
+    g_pallas = jax.grad(loss(ssp.selective_scan_pallas_folded))(args)
+    g_ref = jax.grad(loss(ssp._xla_equivalent))(args)
+    for gp, gr, nm in zip(g_pallas, g_ref, "u delta A B C D bias".split()):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3, err_msg=nm)
+
+
+def test_tile_chooser():
+    assert ssp._choose_tiles(3136, 384, 16) is not None
+    T, Dt = ssp._choose_tiles(3136, 384, 16)
+    assert 384 % Dt == 0
+    assert ssp._choose_tiles(49, 768, 16)[1] in (128, 256, 384, 512)
