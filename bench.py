@@ -7,6 +7,10 @@ reference.  The reference publishes no numbers (BASELINE.md), so
 ``vs_baseline`` is computed against a documented nominal PyTorch-GPU anchor
 until a measured torch baseline exists.
 
+Timing: N iterations inside one jitted fori_loop with a data-dependency
+chain and a single host sync (plain block_until_ready loops mis-measure
+through the axon relay — see utils/timing.py).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 """
@@ -14,8 +18,6 @@ Prints ONE JSON line:
 import argparse
 import json
 import os
-import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
@@ -29,14 +31,19 @@ import numpy as np
 REF_TORCH_IPS = 200.0
 
 
-def bench(model_name: str = "medmamba", batch: int = 32, size: int = 224,
-          warmup: int = 3, iters: int = 10, mode: str = "train"):
+def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
+          dtype: str):
     from medical_image_classification_tpu.models import create_model
     from medical_image_classification_tpu.train.optim import make_optimizer
     from medical_image_classification_tpu.train.train_state import (
-        init_train_state, make_train_step, make_eval_step)
+        init_train_state, make_train_step_fn)
+    from medical_image_classification_tpu.utils.timing import (
+        chained_device_time)
+    from medical_image_classification_tpu.data.image_folder import (
+        normalize_batch)
 
-    model = create_model(model_name, num_classes=8)
+    dt = {"bf16": jnp.bfloat16, "fp32": None}[dtype]
+    model = create_model(model_name, num_classes=8, dtype=dt)
     tx = make_optimizer("adam", 1e-4)
     rng = jax.random.PRNGKey(0)
     imgs = jnp.asarray(np.random.RandomState(0).randint(
@@ -46,25 +53,26 @@ def bench(model_name: str = "medmamba", batch: int = 32, size: int = 224,
 
     results = {}
     if mode in ("train", "both"):
-        step = make_train_step(model, donate=False)
-        for _ in range(warmup):
-            state, m = step(state, imgs, labels, rng)
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, imgs, labels, rng)
-        jax.block_until_ready(m["loss"])
-        results["train_ips"] = batch * iters / (time.perf_counter() - t0)
+        raw_step = make_train_step_fn(model)
+
+        def train_carry(s):
+            s2, _ = raw_step(s, imgs, labels, rng)
+            return s2
+
+        t = chained_device_time(train_carry, state, iters=iters)
+        results["train_ips"] = batch / t
     if mode in ("infer", "both"):
-        ev = make_eval_step(model)
-        for _ in range(warmup):
-            c, logits = ev(state, imgs, labels)
-        jax.block_until_ready(logits)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            c, logits = ev(state, imgs, labels)
-        jax.block_until_ready(logits)
-        results["infer_ips"] = batch * iters / (time.perf_counter() - t0)
+        variables = {"params": state.params, **state.model_state}
+
+        def infer_carry(x):
+            logits = model.apply(variables, x, train=False)
+            # feed a zero derived from logits back into the carry to chain
+            bump = (0.0 * jnp.sum(logits)).astype(jnp.float32)
+            return x + bump.astype(x.dtype)
+
+        x0 = normalize_batch(imgs)
+        t = chained_device_time(infer_carry, x0, iters=iters)
+        results["infer_ips"] = batch / t
     return results
 
 
@@ -73,18 +81,20 @@ def main():
     p.add_argument("--model", default="medmamba")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=224)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     args = p.parse_args()
 
     n_dev = jax.local_device_count()
-    res = bench(args.model, args.batch, args.size, iters=args.iters,
-                mode=args.mode)
+    res = bench(args.model, args.batch, args.size, args.iters, args.mode,
+                args.dtype)
     train_ips = res.get("train_ips", 0.0)
     infer_ips = res.get("infer_ips", 0.0)
     headline = train_ips if train_ips else infer_ips
     out = {
-        "metric": f"{args.model} train images/sec/chip @224 b{args.batch}",
+        "metric": f"{args.model} train images/sec/chip @{args.size} "
+                  f"b{args.batch} {args.dtype}",
         "value": round(headline / n_dev, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(headline / n_dev / REF_TORCH_IPS, 3),

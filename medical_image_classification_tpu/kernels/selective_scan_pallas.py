@@ -16,10 +16,12 @@ Not a translation: the design is shaped by the TPU memory system —
     directions are folded into the sequence axis by the caller, so no
     flipped copies are materialised in HBM.
 
-Backward: custom_vjp whose bwd recomputes through the chunked-XLA scan
-(`selective_scan_xla`) — the gradient of a linear scan is itself a (reverse)
-linear scan, which XLA pipelines well; a fully-Pallas bwd is tracked as a
-follow-up optimisation.
+Backward: a second Pallas kernel (`selective_scan_pallas_bwd.py`) that walks
+chunks in reverse, recomputing in-chunk states from saved chunk-boundary
+states and running a reverse doubling scan for the adjoint — the TPU shape
+of the reference's 530-LoC CUDA backward, with per-sequence parameter-grad
+partials instead of atomics.  `_BWD_IMPL = "xla"` switches to a recompute
+through the chunked-XLA scan for debugging.
 
 Folded layout (what `ss2d_core_mamba1` produces naturally):
   u, delta : [G, L, Dm]    G = batch * K directions, batch-major
@@ -76,7 +78,7 @@ def pallas_supported(u, A, B, z=None, delta_softplus=False,
 
 
 def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
-                 y_ref, state, *, T: int, nT: int):
+                 y_ref, xsave_ref, state, *, T: int, nT: int):
     """One (sequence, L-chunk) grid step."""
     lc = pl.program_id(1)
 
@@ -84,6 +86,7 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     def _():
         state[...] = jnp.zeros_like(state)
 
+    xsave_ref[0, 0] = state[...]                       # incoming chunk state
     u = u_ref[0].astype(jnp.float32)                   # [T, Dt]
     dt = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     dt = jax.nn.softplus(dt)
@@ -169,15 +172,28 @@ def _fwd_folded(u, delta, A, B, C, Dskip, bias, T: int, Dt: int):
             pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), l, dtile(i)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), l, dtile(i)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dt), lambda i, l: (seq(i), l, 0, dtile(i)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp // T, N, Dm), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
-    return y[:, :L]
+    y, xsave = y
+    return y[:, :L], xsave
+
+
+# backward implementation: 'pallas' (reverse-scan kernel) or 'xla' (recompute
+# through the chunked-XLA scan) — switchable for debugging/verification.
+_BWD_IMPL = "pallas"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -186,7 +202,7 @@ def _scan_folded(u, delta, A, B, C, Dskip, bias):
     tiles = _choose_tiles(L, Dm, A.shape[2])
     assert tiles is not None
     T, Dt = tiles
-    return _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)
+    return _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)[0]
 
 
 def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
@@ -206,13 +222,23 @@ def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
 
 
 def _scan_fwd(u, delta, A, B, C, Dskip, bias):
-    y = _scan_folded(u, delta, A, B, C, Dskip, bias)
-    return y, (u, delta, A, B, C, Dskip, bias)
+    G, L, Dm = u.shape
+    T, Dt = _choose_tiles(L, Dm, A.shape[2])
+    y, xsave = _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)
+    return y, (u, delta, A, B, C, Dskip, bias, xsave)
 
 
 def _scan_bwd(res, g):
-    args = res
-    _, vjp = jax.vjp(_xla_equivalent, *args)
+    u, delta, A, B, C, Dskip, bias, xsave = res
+    if _BWD_IMPL == "pallas":
+        from medical_image_classification_tpu.kernels import (
+            selective_scan_pallas_bwd as bwd_mod)
+        G, L, Dm = u.shape
+        T, Dt = _choose_tiles(L, Dm, A.shape[2])
+        du, ddelta, dA, dB, dC, dD, dbias = bwd_mod.bwd_folded(
+            u, delta, A, B, C, Dskip, bias, xsave, g, T, Dt)
+        return du, ddelta, dA, dB, dC, dD, dbias
+    _, vjp = jax.vjp(_xla_equivalent, u, delta, A, B, C, Dskip, bias)
     return vjp(g)
 
 

@@ -57,9 +57,10 @@ def cross_entropy_loss(logits, labels, label_smoothing: float = 0.0):
     return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
 
-def make_train_step(model, label_smoothing: float = 0.0,
-                    donate: bool = True) -> Callable:
-    """Returns jitted (state, images_u8, labels, rng) -> (state, metrics)."""
+def make_train_step_fn(model, label_smoothing: float = 0.0) -> Callable:
+    """Raw (unjitted) train step: (state, images_u8, labels, rng) ->
+    (state, metrics).  Use make_train_step for the jitted version; the raw
+    function is composable into fori_loop timing harnesses."""
 
     def step_fn(state: TrainState, images, labels, rng):
         imgs = normalize_batch(images)
@@ -88,6 +89,13 @@ def make_train_step(model, label_smoothing: float = 0.0,
                                   model_state=FrozenDict(model_state))
         return new_state, {"loss": loss, "accuracy": acc}
 
+    return step_fn
+
+
+def make_train_step(model, label_smoothing: float = 0.0,
+                    donate: bool = True) -> Callable:
+    """Returns jitted (state, images_u8, labels, rng) -> (state, metrics)."""
+    step_fn = make_train_step_fn(model, label_smoothing)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

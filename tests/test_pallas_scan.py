@@ -15,7 +15,9 @@ from medical_image_classification_tpu.kernels.selective_scan import (
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_bwd as sspb
     monkeypatch.setattr(ssp, "_INTERPRET", True)
+    monkeypatch.setattr(sspb, "_INTERPRET", True)
 
 
 def _make(rng, batch, K, L, Dm, N):
@@ -83,3 +85,34 @@ def test_tile_chooser():
     T, Dt = ssp._choose_tiles(3136, 384, 16)
     assert 384 % Dt == 0
     assert ssp._choose_tiles(49, 768, 16)[1] in (128, 256, 384, 512)
+
+
+def test_pallas_bwd_kernel_matches_xla(monkeypatch):
+    """The dedicated Pallas backward kernel (interpret mode) must match the
+    XLA-recompute gradients."""
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_bwd as sspb
+    monkeypatch.setattr(sspb, "_INTERPRET", True)
+    monkeypatch.setattr(ssp, "_BWD_IMPL", "pallas")
+    rng = jax.random.PRNGKey(3)
+    u, delta, A, B, C, D, bias = _make(rng, 2, 2, 100, 64, 8)
+    args = (u, delta, A, B, C, D, bias)
+
+    def loss(fn):
+        return lambda a: jnp.sum(jnp.sin(fn(*a)))
+
+    g_pallas = jax.grad(loss(ssp.selective_scan_pallas_folded))(args)
+    g_ref = jax.grad(loss(ssp._xla_equivalent))(args)
+    for gp, gr, nm in zip(g_pallas, g_ref, "u delta A B C D bias".split()):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def test_pallas_fwd_saves_boundary_states(monkeypatch):
+    monkeypatch.setattr(ssp, "_INTERPRET", True)
+    rng = jax.random.PRNGKey(5)
+    u, delta, A, B, C, D, bias = _make(rng, 1, 2, 64, 32, 4)
+    T, Dt = ssp._choose_tiles(64, 32, 4)
+    y, xsave = ssp._fwd_folded(u, delta, A, B, C, D, bias, T, Dt)
+    assert xsave.shape[0] == u.shape[0]
+    # first chunk's incoming state is zero
+    np.testing.assert_array_equal(np.asarray(xsave[:, 0]), 0.0)
