@@ -150,3 +150,64 @@ def medssd_3kan(num_classes, **kw):
     return _build(num_classes, dict(depths=(2, 2, 4, 2),
                 dims=(128, 256, 512, 1024), d_state=16, core="ssd",
                 head="3kan"), kw)
+
+
+# --- dual-input fusion / cross models (separate factory: two inputs) --------
+
+_FUSION_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_fusion(name):
+    def deco(fn):
+        _FUSION_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def available_fusion_models():
+    return sorted(_FUSION_REGISTRY)
+
+
+def create_fusion_model(name: str, **kw):
+    if name not in _FUSION_REGISTRY:
+        raise KeyError(f"unknown fusion model '{name}'; "
+                       f"available: {available_fusion_models()}")
+    return _FUSION_REGISTRY[name](**kw)
+
+
+@register_fusion("vfefm_2b2")
+def vfefm_2b2(**kw):
+    """CrossMamba fusion U-Net, dual decoder (`CrossMamba_fusion_2b2.py`)."""
+    from medical_image_classification_tpu.models.crossmamba import FusionVFEFM
+    return FusionVFEFM(**kw)
+
+
+@register_fusion("vfefm_2c1")
+def vfefm_2c1(**kw):
+    """Single-decoder variant (`CrossMamba_fusion_2c1.py`)."""
+    from medical_image_classification_tpu.models.crossmamba import FusionVFEFM
+    return FusionVFEFM(single_decoder=True, **kw)
+
+
+@register_fusion("cross_cls_stage3")
+def cross_cls_stage3(num_classes=8, **kw):
+    """Dual-branch classifier, fusion after stage 3
+    (`CrossMamba_3e1f1eadd.py`)."""
+    from medical_image_classification_tpu.models.crossmamba import (
+        CrossVSSMClassifier)
+    return CrossVSSMClassifier(num_classes=num_classes, fuse_mode="stage3", **kw)
+
+
+@register_fusion("cross_cls_4ef")
+def cross_cls_4ef(num_classes=8, **kw):
+    """Dual-branch classifier, fusion at every stage (`CrossMamba_4ef.py`)."""
+    from medical_image_classification_tpu.models.crossmamba import (
+        CrossVSSMClassifier)
+    return CrossVSSMClassifier(num_classes=num_classes, fuse_mode="all", **kw)
+
+
+@register_fusion("fusionmamba")
+def fusionmamba(**kw):
+    """FusionMamba VSSM_Fusion U-Net (`vmamba_Fusion_efficross.py`)."""
+    from medical_image_classification_tpu.models.fusionmamba import VSSMFusion
+    return VSSMFusion(**kw)
