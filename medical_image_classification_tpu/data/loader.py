@@ -35,7 +35,8 @@ class BatchLoader:
     def __init__(self, dataset: ImageFolder, batch_size: int, image_size: int,
                  train: bool, seed: int = 0, num_threads: int = 8,
                  prefetch: int = 4, drop_last: Optional[bool] = None,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 use_native: Optional[bool] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.image_size = image_size
@@ -46,6 +47,10 @@ class BatchLoader:
         self.drop_last = train if drop_last is None else drop_last
         self.shard_index = shard_index
         self.shard_count = shard_count
+        if use_native is None:
+            from medical_image_classification_tpu.data import native_loader
+            use_native = native_loader.native_available()
+        self.use_native = use_native
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
@@ -82,6 +87,22 @@ class BatchLoader:
             return i, img, label
 
         def producer():
+            if self.use_native:
+                from medical_image_classification_tpu.data.native_loader import (
+                    decode_batch)
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    paths = [self.ds.samples[i][0] for i in sel]
+                    labels = np.asarray([self.ds.samples[i][1] for i in sel],
+                                        dtype=np.int32)
+                    seed = hash((self.seed, epoch, b)) & (2**63 - 1)
+                    imgs = decode_batch(paths, self.image_size, self.train,
+                                        seed, threads=self.num_threads)
+                    out_q.put((imgs, labels))
+                out_q.put(None)
+                return
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
                     if stop.is_set():

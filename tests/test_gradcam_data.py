@@ -92,3 +92,43 @@ def test_synthetic_loader():
     batches = list(l.epoch(0))
     assert len(batches) == 3
     assert batches[0][0].shape == (4, 32, 32, 3)
+
+
+def test_native_decoder_matches_cv2(tmp_path):
+    """Native C++ decode+resize vs OpenCV on synthetic PNGs/JPEGs."""
+    from medical_image_classification_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("no native toolchain")
+    import cv2
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, ext in enumerate([".png", ".jpg", ".png"]):
+        img = rng.randint(0, 256, (50 + i * 7, 40, 3), dtype=np.uint8)
+        p = str(tmp_path / f"x{i}{ext}")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    out = native_loader.decode_batch(paths, 32, train=False, seed=0)
+    assert out.shape == (3, 32, 32, 3) and out.dtype == np.uint8
+    # compare against cv2 INTER_LINEAR resize of the same decode
+    for i, p in enumerate(paths):
+        ref = cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1]
+        ref = cv2.resize(ref, (32, 32), interpolation=cv2.INTER_LINEAR)
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        assert np.mean(diff) < 3.0, f"mean abs diff {np.mean(diff)}"
+
+
+def test_native_decoder_train_mode(tmp_path):
+    from medical_image_classification_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("no native toolchain")
+    import cv2
+    img = np.random.RandomState(1).randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    cv2.imwrite(p, img)
+    a = native_loader.decode_batch([p, p], 32, train=True, seed=7)
+    b = native_loader.decode_batch([p, p], 32, train=True, seed=7)
+    np.testing.assert_array_equal(a, b)          # deterministic per seed
+    c = native_loader.decode_batch([p, p], 32, train=True, seed=8)
+    assert not np.array_equal(a, c)              # seed changes the crop
+    # the two identical paths in one batch get different crops
+    assert not np.array_equal(a[0], a[1])
