@@ -72,7 +72,8 @@ def _apply_tail(y, u, D, z, out_dtype):
 
 
 def selective_scan_seq(u, delta, A, B, C, D=None, z=None, delta_bias=None,
-                       delta_softplus=False, return_last_state=False):
+                       delta_softplus=False, return_last_state=False,
+                       initial_state=None):
     """Golden-model sequential scan (lax.scan over every timestep)."""
     out_dtype = u.dtype
     u, delta, A, Bm, Cm = _prep_inputs(u, delta, A, B, C, delta_bias, delta_softplus)
@@ -91,7 +92,8 @@ def selective_scan_seq(u, delta, A, B, C, D=None, z=None, delta_bias=None,
         y = jnp.sum(c_full * x, axis=-1)   # [batch, d]
         return x, y
 
-    x0 = jnp.zeros((batch, d, n), dtype=u.dtype)
+    x0 = (jnp.zeros((batch, d, n), dtype=u.dtype) if initial_state is None
+          else initial_state.astype(u.dtype))
     xs = (jnp.moveaxis(u, 1, 0), jnp.moveaxis(delta, 1, 0),
           jnp.moveaxis(Bm, 1, 0), jnp.moveaxis(Cm, 1, 0))
     last, ys = lax.scan(step, x0, xs)
@@ -125,7 +127,7 @@ def _chunk_scan(carry, chunk, A, rep):
 
 def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                        delta_softplus=False, return_last_state=False,
-                       chunk: int = 128):
+                       chunk: int = 128, initial_state=None):
     """Chunked associative scan: O(B*chunk*D*N) live memory, XLA-differentiable."""
     out_dtype = u.dtype
     u32, delta, A, Bm, Cm = _prep_inputs(u, delta, A, B, C, delta_bias, delta_softplus)
@@ -149,7 +151,12 @@ def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 
     xs = (to_chunks(u_p), to_chunks(dt_p), to_chunks(b_p), to_chunks(c_p))
     step = functools.partial(_chunk_scan, A=A, rep=rep)
-    x0 = jnp.zeros((batch, d, n), dtype=jnp.float32)
+    if initial_state is None:
+        # derive the zero state from the input so shard_map's varying-axis
+        # tags propagate into the scan carry (plain zeros are "unvarying")
+        x0 = jnp.zeros((batch, d, n), jnp.float32) + 0.0 * u32[:, 0, :, None]
+    else:
+        x0 = initial_state.astype(jnp.float32)
     last, ys = lax.scan(step, x0, xs)
     y = jnp.moveaxis(ys, 0, 1).reshape(batch, nchunks * chunk, d)[:, :L]
     y = _apply_tail(y, u32, D, z, out_dtype)

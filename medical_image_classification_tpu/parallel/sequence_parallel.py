@@ -1,0 +1,108 @@
+"""Sequence-parallel (L-sharded) scans over a mesh axis.
+
+The reference threads a ``sequence_parallel`` flag through its TP linears
+(`/root/reference/CNN_Mamba.py:354,365`, reduce_scatter import `:31`) but has
+no mechanism to shard the *scan length* itself.  SURVEY §5 identifies the
+scan-length L as the long-context axis; this module implements the SSM
+analogue of ring attention: each device scans its L-shard locally, the
+per-shard (decay, final-state) summaries are exchanged with ONE small
+all-gather, every device computes its incoming state by a tiny prefix
+combine, and a cheap correction adds the cross-shard contribution.
+
+Use inside ``shard_map`` with L sharded over ``axis_name``.
+
+* ``ssd_sequence_parallel`` — exact, one extra einsum: the SSD decay is
+  scalar per head so exp(cumsum(dtA)) is only [B, L, H].
+* ``selective_scan_sequence_parallel`` — two-pass (local scan for the
+  summary, rescan with the incoming state) because the Mamba-1 per-(d,n)
+  decay cannot be materialised.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from medical_image_classification_tpu.kernels.selective_scan import (
+    selective_scan_xla,
+)
+from medical_image_classification_tpu.kernels.ssd import ssd_chunked
+
+
+def _incoming_state(a_total, last_state, axis_name: str):
+    """Compute this device's incoming state from all shards' summaries.
+
+    a_total: decay of the whole local shard (per batch/head/...-shaped);
+    last_state: local final state assuming zero incoming state.
+    Gathers [ndev, ...] summaries and prefix-combines (ndev is small, the
+    python loop unrolls at trace time)."""
+    idx = lax.axis_index(axis_name)
+    a_all = lax.all_gather(a_total, axis_name)          # [ndev, ...]
+    s_all = lax.all_gather(last_state, axis_name)
+    ndev = a_all.shape[0]
+    s_in = jnp.zeros_like(last_state)
+    incoming = [jnp.zeros_like(last_state)]             # for device 0
+    run = s_all[0]
+    for i in range(1, ndev):
+        incoming.append(run)
+        run = a_all[i] * run + s_all[i]
+    stacked = jnp.stack(incoming)                       # [ndev, ...]
+    return stacked[idx]
+
+
+def ssd_sequence_parallel(x, dt, A, B, C, axis_name: str,
+                          chunk_size: int = 128, D=None, dt_bias=None,
+                          dt_softplus: bool = True):
+    """Exact L-sharded SSD scan (shapes as ssd_chunked, L = local shard)."""
+    f32 = jnp.float32
+    y_local, s_final = ssd_chunked(x, dt, A, B, C, chunk_size=chunk_size,
+                                   D=None, dt_bias=dt_bias,
+                                   dt_softplus=dt_softplus,
+                                   return_final_state=True)
+    dtc = dt.astype(f32)
+    if dt_bias is not None:
+        dtc = dtc + dt_bias.astype(f32)
+    if dt_softplus:
+        dtc = jax.nn.softplus(dtc)
+    dtA = dtc * A.astype(f32)                           # [B, L, H]
+    a_total = jnp.exp(jnp.sum(dtA, axis=1))             # [B, H]
+    a_tot_state = a_total[..., None, None]              # [B, H, 1, 1]
+    s_in = _incoming_state(a_tot_state, s_final.astype(f32), axis_name)
+
+    # cross-shard correction: y_t += C_t . (exp(cumsum dtA)_t * s_in)
+    G = B.shape[2]
+    rep = x.shape[2] // G
+    Ch = jnp.repeat(C.astype(f32), rep, axis=2)         # [B, L, H, N]
+    decay = jnp.exp(jnp.cumsum(dtA, axis=1))            # [B, L, H]
+    y_corr = jnp.einsum("blhn,bhpn,blh->blhp", Ch, s_in, decay)
+    y = y_local.astype(f32) + y_corr
+    if D is not None:
+        y = y + x.astype(f32) * (D.astype(f32)[None, None, :, None]
+                                 if D.ndim == 1 else D.astype(f32))
+    return y.astype(x.dtype)
+
+
+def selective_scan_sequence_parallel(u, delta, A, B, C, axis_name: str,
+                                     D=None, delta_bias=None,
+                                     delta_softplus: bool = True,
+                                     chunk: int = 128):
+    """L-sharded Mamba-1 scan (two-pass; shapes as selective_scan)."""
+    f32 = jnp.float32
+    # pass 1: local summary (zero incoming state)
+    _, s_final = selective_scan_xla(u, delta, A, B, C, D=None,
+                                    delta_bias=delta_bias,
+                                    delta_softplus=delta_softplus,
+                                    return_last_state=True, chunk=chunk)
+    dtc = delta.astype(f32)
+    if delta_bias is not None:
+        dtc = dtc + delta_bias.astype(f32)
+    if delta_softplus:
+        dtc = jax.nn.softplus(dtc)
+    # whole-shard decay per (d, n): exp(sum_t dt_t * A)  -> [batch, d, n]
+    a_total = jnp.exp(jnp.sum(dtc, axis=1)[..., None] * A.astype(f32)[None])
+    s_in = _incoming_state(a_total, s_final.astype(f32), axis_name)
+    # pass 2: rescan with the true incoming state
+    return selective_scan_xla(u, delta, A, B, C, D=D, delta_bias=delta_bias,
+                              delta_softplus=delta_softplus, chunk=chunk,
+                              initial_state=s_in)

@@ -27,22 +27,24 @@ def chained_device_time(step_like: Callable, init_carry, iters: int = 50,
 
     @jax.jit
     def run(carry, n):
-        return lax.fori_loop(0, n, lambda i, c: step_like(c), carry)
+        # dynamic trip count -> ONE compilation for every n
+        return lax.fori_loop(0, n, lambda i, c: step_like(c), carry,
+                             unroll=False)
 
     # compile + warm
-    out = run(init_carry, 1)
+    out = run(init_carry, jnp.int32(1))
     _sync(out)
     for _ in range(warmup_reps):
-        out = run(init_carry, 2)
+        out = run(init_carry, jnp.int32(2))
         _sync(out)
 
     t0 = time.perf_counter()
-    out = run(init_carry, iters)
+    out = run(init_carry, jnp.int32(iters))
     _sync(out)
     t_n = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = run(init_carry, 1)
+    out = run(init_carry, jnp.int32(1))
     _sync(out)
     t_1 = time.perf_counter() - t0
 

@@ -1,0 +1,77 @@
+"""L-sharded scan parity on the 8-device virtual mesh: sequence-parallel
+execution must match the single-device scan exactly."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from medical_image_classification_tpu.kernels.selective_scan import (
+    selective_scan_xla,
+)
+from medical_image_classification_tpu.kernels.ssd import ssd_seq_ref
+from medical_image_classification_tpu.parallel.sequence_parallel import (
+    selective_scan_sequence_parallel,
+    ssd_sequence_parallel,
+)
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()), axis_names=("seq",))
+
+
+def test_ssd_sequence_parallel_matches_single():
+    b, L, h, p, g, n = 2, 256, 2, 8, 1, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, L, h, p))
+    dt = 0.5 * jax.random.normal(ks[1], (b, L, h))
+    A = -jnp.exp(jax.random.normal(ks[2], (h,)) * 0.5)
+    B = jax.random.normal(ks[3], (b, L, g, n))
+    C = jax.random.normal(ks[4], (b, L, g, n))
+    D = jax.random.normal(ks[5], (h,))
+    bias = jnp.full((h,), 0.1)
+
+    y_ref = ssd_seq_ref(x, dt, A, B, C, D=D, dt_bias=bias)
+
+    mesh = _mesh()
+    fn = shard_map(
+        functools.partial(ssd_sequence_parallel, axis_name="seq",
+                          chunk_size=16, D=D, dt_bias=bias),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(), P(None, "seq"),
+                  P(None, "seq")),
+        out_specs=P(None, "seq"))
+    y = fn(x, dt, A, B, C)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_mamba1_sequence_parallel_matches_single():
+    b, L, d, n = 2, 256, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    u = jax.random.normal(ks[0], (b, L, d))
+    delta = 0.5 * jax.random.normal(ks[1], (b, L, d))
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.5)
+    B = jax.random.normal(ks[3], (b, L, 1, n))
+    C = jax.random.normal(ks[4], (b, L, 1, n))
+    D = jax.random.normal(ks[5], (d,))
+    bias = jnp.full((d,), 0.05)
+
+    y_ref = selective_scan_xla(u, delta, A, B, C, D=D, delta_bias=bias,
+                               delta_softplus=True)
+
+    mesh = _mesh()
+    fn = shard_map(
+        functools.partial(selective_scan_sequence_parallel, axis_name="seq",
+                          D=D, delta_bias=bias, chunk=16),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(), P(None, "seq"),
+                  P(None, "seq")),
+        out_specs=P(None, "seq"))
+    y = fn(u, delta, A, B, C)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
