@@ -57,7 +57,6 @@ def test_fusion_unet_output_shape():
     m = FusionVFEFM(**FUSION_SMALL)
     x1 = jnp.ones((1, 32, 32, 3)) * 0.5
     x2 = jnp.ones((1, 32, 32, 3)) * 0.3
-    (out, _), _ = None, None
     out, vars_ = _init_apply(m, x1, x2)
     assert out.shape == (1, 32, 32, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
