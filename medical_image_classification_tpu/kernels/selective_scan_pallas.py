@@ -45,7 +45,10 @@ from medical_image_classification_tpu.kernels.selective_scan import (
 
 
 def _choose_tiles(L: int, Dm: int, N: int):
-    """Pick (T, Dt): Dt divides Dm, VMEM footprint ~<= 8MB."""
+    """Pick (T, Dt): Dt divides Dm, VMEM footprint ~<= 8MB.
+
+    T adapts to L so short stages don't pad to a full 128-step chunk
+    (MedMamba stage 3 has L=49: T=56 wastes 14% instead of 161%)."""
     Dt = None
     for cand in (512, 384, 256, 128):
         if Dm % cand == 0:
@@ -56,9 +59,11 @@ def _choose_tiles(L: int, Dm: int, N: int):
             Dt = Dm
         else:
             return None
-    T = 128
+    n_chunks = -(-L // 128)
+    T = -(-L // n_chunks)               # balanced chunk length
+    T = min(128, ((T + 7) // 8) * 8)    # multiple of 8 (sub-block friendly)
     while T > 8 and 6 * T * N * Dt * 4 > 8 * 1024 * 1024:
-        T //= 2
+        T = ((T // 2 + 7) // 8) * 8
     return T, Dt
 
 
@@ -196,13 +201,25 @@ def _fwd_folded(u, delta, A, B, C, Dskip, bias, T: int, Dt: int):
 _BWD_IMPL = "pallas"
 
 
+def _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt):
+    """Forward: two-level work-efficient kernel (v2) when the sub-block
+    size divides T, else the doubling-scan v1."""
+    from medical_image_classification_tpu.kernels import (
+        selective_scan_pallas_v2 as v2)
+    S = 16 if T % 16 == 0 else 8
+    if T % S == 0:
+        v2._INTERPRET = _INTERPRET
+        return v2.fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T, Dt, S=S)
+    return _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _scan_folded(u, delta, A, B, C, Dskip, bias):
     G, L, Dm = u.shape
     tiles = _choose_tiles(L, Dm, A.shape[2])
     assert tiles is not None
     T, Dt = tiles
-    return _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)[0]
+    return _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt)[0]
 
 
 def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
@@ -224,20 +241,27 @@ def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
 def _scan_fwd(u, delta, A, B, C, Dskip, bias):
     G, L, Dm = u.shape
     T, Dt = _choose_tiles(L, Dm, A.shape[2])
-    y, xsave = _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)
+    y, xsave = _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt)
     return y, (u, delta, A, B, C, Dskip, bias, xsave)
 
 
 def _scan_bwd(res, g):
     u, delta, A, B, C, Dskip, bias, xsave = res
     if _BWD_IMPL == "pallas":
-        from medical_image_classification_tpu.kernels import (
-            selective_scan_pallas_bwd as bwd_mod)
         G, L, Dm = u.shape
         T, Dt = _choose_tiles(L, Dm, A.shape[2])
-        du, ddelta, dA, dB, dC, dD, dbias = bwd_mod.bwd_folded(
-            u, delta, A, B, C, Dskip, bias, xsave, g, T, Dt)
-        return du, ddelta, dA, dB, dC, dD, dbias
+        S = 16 if T % 16 == 0 else 8
+        if T % S == 0:
+            from medical_image_classification_tpu.kernels import (
+                selective_scan_pallas_bwd_v2 as bwd2)
+            bwd2._INTERPRET = _INTERPRET
+            return bwd2.bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave,
+                                      g, T, Dt, S=S)
+        from medical_image_classification_tpu.kernels import (
+            selective_scan_pallas_bwd as bwd_mod)
+        bwd_mod._INTERPRET = _INTERPRET
+        return bwd_mod.bwd_folded(u, delta, A, B, C, Dskip, bias, xsave,
+                                  g, T, Dt)
     _, vjp = jax.vjp(_xla_equivalent, u, delta, A, B, C, Dskip, bias)
     return vjp(g)
 
