@@ -374,3 +374,55 @@ class VSSMFusion(nn.Module):
         # the reference adds the raw inputs twice (`:926`) — i.e. a
         # 2*(x1+x2) residual; replicated for behavioural parity.
         return out + 2.0 * (in1 + in2)
+
+
+class CDCConvHV(nn.Module):
+    """Central-difference conv, horizontal/vertical cross
+    (`vmamba_Fusion_efficross.py:492-523` Conv2d_Hori_Veri_Cross): 5 learned
+    taps placed on a 3x3 cross, minus theta x (kernel-sum pointwise conv)."""
+    features: int
+    theta: float = 0.7
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("taps", kaiming_conv, (1, 5, cin, self.features))
+        z = jnp.zeros((1, 1, cin, self.features))
+        t = [w[:, i:i + 1] for i in range(5)]
+        # cross layout: [0 t0 0 / t1 t2 t3 / 0 t4 0]
+        row0 = jnp.concatenate([z, t[0], z], axis=1)
+        row1 = jnp.concatenate([t[1], t[2], t[3]], axis=1)
+        row2 = jnp.concatenate([z, t[4], z], axis=1)
+        k = jnp.concatenate([row0, row1, row2], axis=0)      # [3,3,cin,cout]
+        out = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        kd = jnp.sum(k, axis=(0, 1), keepdims=True)
+        out_diff = jax.lax.conv_general_dilated(
+            x, kd, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out - self.theta * out_diff
+
+
+class CDCConvDiag(nn.Module):
+    """Central-difference conv, diagonal cross
+    (`vmamba_Fusion_efficross.py:526-557` Conv2d_Diag_Cross): taps on the
+    3x3 diagonals + center."""
+    features: int
+    theta: float = 0.7
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("taps", kaiming_conv, (1, 5, cin, self.features))
+        z = jnp.zeros((1, 1, cin, self.features))
+        t = [w[:, i:i + 1] for i in range(5)]
+        # diag layout: [t0 0 t1 / 0 t2 0 / t3 0 t4]
+        row0 = jnp.concatenate([t[0], z, t[1]], axis=1)
+        row1 = jnp.concatenate([z, t[2], z], axis=1)
+        row2 = jnp.concatenate([t[3], z, t[4]], axis=1)
+        k = jnp.concatenate([row0, row1, row2], axis=0)
+        out = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        kd = jnp.sum(k, axis=(0, 1), keepdims=True)
+        out_diff = jax.lax.conv_general_dilated(
+            x, kd, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out - self.theta * out_diff

@@ -203,3 +203,35 @@ def okan_update_grid(x, grid, coef, k: int, num: int, grid_eps: float = 0.02):
     new_grid = extend_grid(new_grid, k)
     new_coef = okan_curve2coef(x_sorted, y_eval, new_grid, k)
     return new_grid, new_coef
+
+
+def okan_get_subset(grid, coef, scale_base, scale_sp, mask, in_idx, out_idx):
+    """o-KAN pruning: restrict a layer to (in_idx, out_idx) edges
+    (`o_kan.py:420-451` get_subset)."""
+    import numpy as np
+    in_idx = jnp.asarray(in_idx)
+    out_idx = jnp.asarray(out_idx)
+    return (grid[in_idx],
+            coef[in_idx][:, out_idx],
+            scale_base[in_idx][:, out_idx],
+            scale_sp[in_idx][:, out_idx],
+            mask[in_idx][:, out_idx])
+
+
+def okan_swap(arrs, i, j, axis: int):
+    """o-KAN neuron swap (`o_kan.py:453-488`): exchange rows/cols i<->j of
+    every array in ``arrs`` along ``axis``."""
+    out = []
+    for a in arrs:
+        ai = jnp.take(a, i, axis=axis)
+        aj = jnp.take(a, j, axis=axis)
+        a = _set_along(a, i, aj, axis)
+        a = _set_along(a, j, ai, axis)
+        out.append(a)
+    return out
+
+
+def _set_along(a, idx, val, axis):
+    sl = [slice(None)] * a.ndim
+    sl[axis] = idx
+    return a.at[tuple(sl)].set(val)
