@@ -245,6 +245,10 @@ def _scan_fwd(u, delta, A, B, C, Dskip, bias):
     return y, (u, delta, A, B, C, Dskip, bias, xsave)
 
 
+def _cast_like(grads, primals):
+    return tuple(gr.astype(pr.dtype) for gr, pr in zip(grads, primals))
+
+
 def _scan_bwd(res, g):
     u, delta, A, B, C, Dskip, bias, xsave = res
     if _BWD_IMPL == "pallas":
@@ -255,25 +259,30 @@ def _scan_bwd(res, g):
             from medical_image_classification_tpu.kernels import (
                 selective_scan_pallas_bwd_v2 as bwd2)
             bwd2._INTERPRET = _INTERPRET
-            return bwd2.bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave,
+            outs = bwd2.bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave,
                                       g, T, Dt, S=S)
-        from medical_image_classification_tpu.kernels import (
-            selective_scan_pallas_bwd as bwd_mod)
-        bwd_mod._INTERPRET = _INTERPRET
-        return bwd_mod.bwd_folded(u, delta, A, B, C, Dskip, bias, xsave,
-                                  g, T, Dt)
+        else:
+            from medical_image_classification_tpu.kernels import (
+                selective_scan_pallas_bwd as bwd_mod)
+            bwd_mod._INTERPRET = _INTERPRET
+            outs = bwd_mod.bwd_folded(u, delta, A, B, C, Dskip, bias, xsave,
+                                      g, T, Dt)
+        return _cast_like(outs, (u, delta, A, B, C, Dskip, bias))
     _, vjp = jax.vjp(_xla_equivalent, u, delta, A, B, C, Dskip, bias)
-    return vjp(g)
+    return _cast_like(vjp(g), (u, delta, A, B, C, Dskip, bias))
 
 
 _scan_folded.defvjp(_scan_fwd, _scan_bwd)
 
 
 def selective_scan_pallas_folded(u, delta, A, B, C, Dskip, bias):
-    """Folded-layout entry (see module docstring). delta_softplus implied."""
-    return _scan_folded(u.astype(jnp.float32), delta.astype(jnp.float32),
-                        A.astype(jnp.float32), B.astype(jnp.float32),
-                        C.astype(jnp.float32), Dskip.astype(jnp.float32),
+    """Folded-layout entry (see module docstring). delta_softplus implied.
+
+    u/delta/B/C keep their incoming dtype (bf16 halves the kernel's HBM
+    traffic; accumulation is fp32 inside regardless).  Params stay fp32."""
+    return _scan_folded(u, delta,
+                        A.astype(jnp.float32), B, C,
+                        Dskip.astype(jnp.float32),
                         bias.astype(jnp.float32))
 
 

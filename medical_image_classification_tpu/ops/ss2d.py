@@ -61,9 +61,12 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         # directions fold into the sequence axis — [B, K, L, D] is already
         # the kernel's native layout, zero extra data movement.
         A_neg = -jnp.exp(A_log.astype(jnp.float32))      # [K, D, n]
-        y4 = selective_scan_pallas_folded(
-            xs.reshape(Bb * K, L, D), dts.reshape(Bb * K, L, D), A_neg,
-            Bmat.reshape(Bb * K, L, d_state), Cmat.reshape(Bb * K, L, d_state),
+        dt_c = x.dtype                                   # bf16 inputs halve
+        y4 = selective_scan_pallas_folded(               # the kernel's HBM IO
+            xs.reshape(Bb * K, L, D).astype(dt_c),
+            dts.reshape(Bb * K, L, D).astype(dt_c), A_neg,
+            Bmat.reshape(Bb * K, L, d_state).astype(dt_c),
+            Cmat.reshape(Bb * K, L, d_state).astype(dt_c),
             Ds.astype(jnp.float32), dt_proj_b.astype(jnp.float32))
         ys = y4.reshape(Bb, K, L, D)
     else:
