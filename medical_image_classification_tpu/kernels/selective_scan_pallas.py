@@ -117,7 +117,7 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     x = b + a * state[None]                            # fold incoming state
     y = jnp.sum(Cv[:, :, None] * x, axis=1)            # [T, Dt]
     y = y + u * Dskip_ref[0].astype(jnp.float32)
-    y_ref[0] = y
+    y_ref[0] = y.astype(y_ref.dtype)
     state[...] = x[T - 1]
 
 
@@ -184,7 +184,7 @@ def _fwd_folded(u, delta, A, B, C, Dskip, bias, T: int, Dt: int):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
             jax.ShapeDtypeStruct((G, Lp // T, N, Dm), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32)],
@@ -223,7 +223,8 @@ def _scan_folded(u, delta, A, B, C, Dskip, bias):
 
 
 def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
-    """Same math through the differentiable chunked-XLA scan (for the VJP)."""
+    """Same math through the differentiable chunked-XLA scan (debug VJP).
+    Output follows u's dtype (matches the pallas fwd)."""
     G, L, Dm = u.shape
     K, _, N = A.shape
     batch = G // K
@@ -235,7 +236,8 @@ def _xla_equivalent(u, delta, A, B, C, Dskip, bias):
     y = selective_scan_xla(u2, d2, A.reshape(K * Dm, N), B2, C2,
                            D=Dskip.reshape(-1), delta_bias=bias.reshape(-1),
                            delta_softplus=True)
-    return jnp.swapaxes(y.reshape(batch, L, K, Dm), 1, 2).reshape(G, L, Dm)
+    out = jnp.swapaxes(y.reshape(batch, L, K, Dm), 1, 2).reshape(G, L, Dm)
+    return out.astype(u.dtype)
 
 
 def _scan_fwd(u, delta, A, B, C, Dskip, bias):

@@ -85,7 +85,7 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     for s in range(S):
         y_scr[:, s] = y_loc[s] + jnp.sum(corr_c[s] * e_b, axis=1)
     y = y_scr[...].reshape(T, Dt) + u * Dskip_ref[0].astype(jnp.float32)
-    y_ref[0] = y
+    y_ref[0] = y.astype(y_ref.dtype)
     state[...] = pb[nb - 1] + pa[nb - 1] * state[...]
 
 
@@ -136,7 +136,7 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
             jax.ShapeDtypeStruct((G, Lp // T, N, Dm), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32),
