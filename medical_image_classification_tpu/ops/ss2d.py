@@ -49,14 +49,34 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     L = H * W
     K = 4
     xs = cross_scan(x)                                   # [B, 4, L, D]
+
+    from medical_image_classification_tpu.kernels.selective_scan_pallas import (
+        pallas_folded_supported, selective_scan_pallas_folded)
+    from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
+        fused_supported, ss2d_scan_fused)
+    if impl in ("auto", "pallas") and fused_supported(L, D, d_state):
+        # fully fused path: Δ/B/C projections run INSIDE the kernel; the
+        # only large HBM tensors are xs and y.
+        f32 = jnp.float32
+        y4 = ss2d_scan_fused(
+            xs.reshape(Bb * K, L, D),
+            x_proj_w[:, :dt_rank].astype(f32),
+            x_proj_w[:, dt_rank:dt_rank + d_state].astype(f32),
+            x_proj_w[:, dt_rank + d_state:].astype(f32),
+            dt_proj_w.astype(f32),
+            -jnp.exp(A_log.astype(f32)),
+            Ds.astype(f32), dt_proj_b.astype(f32))
+        ys = y4.reshape(Bb, K, L, D)
+        if merge:
+            return cross_merge(ys, H, W)
+        return cross_merge_stack(ys, H, W)
+
     x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
     dts = x_dbl[..., :dt_rank]
     Bmat = x_dbl[..., dt_rank:dt_rank + d_state]
     Cmat = x_dbl[..., dt_rank + d_state:]
     dts = jnp.einsum("bklr,kdr->bkld", dts, dt_proj_w)
 
-    from medical_image_classification_tpu.kernels.selective_scan_pallas import (
-        pallas_folded_supported, selective_scan_pallas_folded)
     if impl in ("auto", "pallas") and pallas_folded_supported(L, D, d_state):
         # directions fold into the sequence axis — [B, K, L, D] is already
         # the kernel's native layout, zero extra data movement.

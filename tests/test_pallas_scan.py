@@ -116,3 +116,43 @@ def test_pallas_fwd_saves_boundary_states(monkeypatch):
     assert xsave.shape[0] == u.shape[0]
     # first chunk's incoming state is zero
     np.testing.assert_array_equal(np.asarray(xsave[:, 0]), 0.0)
+
+
+def test_fused_kernel_matches_composed(monkeypatch):
+    """Fused-projection kernel (interpret mode) vs projections + XLA scan."""
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_fused as ssf
+    monkeypatch.setattr(ssf, "_INTERPRET", True)
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    K, batch, L, Dm, N, R = 2, 2, 96, 32, 4, 3
+    G = batch * K
+    x = jax.random.normal(ks[0], (G, L, Dm))
+    Wdt = 0.3 * jax.random.normal(ks[1], (K, R, Dm))
+    WB = 0.3 * jax.random.normal(ks[2], (K, N, Dm))
+    WC = 0.3 * jax.random.normal(ks[3], (K, N, Dm))
+    dtw = 0.3 * jax.random.normal(ks[4], (K, Dm, R))
+    A = -jnp.exp(jax.random.normal(ks[5], (K, Dm, N)) * 0.5)
+    Dskip = jax.random.normal(ks[6], (K, Dm))
+    bias = 0.1 * jax.random.normal(ks[7], (K, Dm))
+
+    def composed(x, Wdt, WB, WC, dtw, A, Dskip, bias):
+        xs = x.reshape(batch, K, L, Dm)
+        dtr = jnp.einsum("bkld,krd->bklr", xs, Wdt)
+        Bm = jnp.einsum("bkld,knd->bkln", xs, WB)
+        Cm = jnp.einsum("bkld,knd->bkln", xs, WC)
+        dts = jnp.einsum("bklr,kdr->bkld", dtr, dtw)
+        return ssp._xla_equivalent(x, dts.reshape(G, L, Dm), A,
+                                   Bm.reshape(G, L, N), Cm.reshape(G, L, N),
+                                   Dskip, bias)
+
+    args = (x, Wdt, WB, WC, dtw, A, Dskip, bias)
+    y1 = ssf.ss2d_scan_fused(*args)
+    y2 = composed(*args)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-4)
+
+    loss = lambda fn: (lambda a: jnp.sum(jnp.sin(fn(*a))))
+    g1 = jax.grad(loss(ssf.ss2d_scan_fused))(args)
+    g2 = jax.grad(loss(composed))(args)
+    for a_, b_, nm in zip(g1, g2, "x Wdt WB WC dtw A Dskip bias".split()):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3, err_msg=nm)
