@@ -71,7 +71,10 @@ def curve2coeff(x, y, grid, spline_order: int, ridge: float = 1e-8):
     AtA = jnp.einsum("ibc,ibd->icd", A, A)
     AtB = jnp.einsum("ibc,ibo->ico", A, Bm)
     n = AtA.shape[-1]
-    sol = jnp.linalg.solve(AtA + ridge * jnp.eye(n, dtype=AtA.dtype), AtB)
+    # scale the ridge with the problem (few samples => singular AtA)
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[:, None, None] / n
+    lam = ridge + 1e-6 * tr + 1e-8
+    sol = jnp.linalg.solve(AtA + lam * jnp.eye(n, dtype=AtA.dtype), AtB)
     return jnp.transpose(sol, (2, 0, 1))                      # [out, in, coeff]
 
 
@@ -115,13 +118,22 @@ def kan_update_grid(x, grid, spline_weight, spline_scaler, *,
     grid_uniform = (jnp.arange(grid_size + 1, dtype=jnp.float32)[:, None] * step
                     + x_sorted[0] - margin)
     g = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
+    # guard against degenerate (duplicate) knots from small sample batches:
+    # enforce strictly increasing knots with a span-scaled epsilon
+    g = jax.lax.cummax(g, axis=0)
+    span = jnp.maximum(g[-1] - g[0], 1e-3)
+    g = g + (jnp.arange(g.shape[0], dtype=jnp.float32)[:, None]
+             * 1e-4 * span)
+    step = jnp.maximum(step, 1e-4 * span)
     lo = g[:1] - step * jnp.arange(spline_order, 0, -1, dtype=jnp.float32)[:, None]
     hi = g[-1:] + step * jnp.arange(1, spline_order + 1, dtype=jnp.float32)[:, None]
     new_grid = jnp.concatenate([lo, g, hi], axis=0).T          # [in, n_pts]
     new_w = curve2coeff(x, unreduced, new_grid, spline_order)
     if spline_scaler is not None:
-        new_w = new_w / jnp.where(jnp.abs(spline_scaler[..., None]) > 1e-8,
-                                  spline_scaler[..., None], 1.0)
+        sc = spline_scaler[..., None]
+        safe = jnp.where(jnp.abs(sc) > 1e-3, sc,
+                         jnp.where(sc >= 0, 1e-3, -1e-3))
+        new_w = new_w / safe
     return new_grid, new_w
 
 
@@ -200,6 +212,12 @@ def okan_update_grid(x, grid, coef, k: int, num: int, grid_eps: float = 0.02):
     grid_uniform = (grid_adaptive[:, :1] - margin +
                     h * jnp.arange(num + 1, dtype=jnp.float32)[None, :])
     new_grid = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
+    # degenerate-knot guard (see kan_update_grid)
+    new_grid = jax.lax.cummax(new_grid, axis=1)
+    span = jnp.maximum(new_grid[:, -1:] - new_grid[:, :1], 1e-3)
+    new_grid = new_grid + (jnp.arange(new_grid.shape[1],
+                                      dtype=jnp.float32)[None, :]
+                           * 1e-4 * span)
     new_grid = extend_grid(new_grid, k)
     new_coef = okan_curve2coef(x_sorted, y_eval, new_grid, k)
     return new_grid, new_coef
