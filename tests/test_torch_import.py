@@ -1,0 +1,116 @@
+"""Torch-checkpoint importer test: a synthetic reference-schema state_dict
+must land exactly on the Flax param structure and run."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from medical_image_classification_tpu.models import create_model
+from medical_image_classification_tpu.utils.torch_import import (
+    import_medmamba_state_dict,
+)
+
+DEPTHS, DIMS, DSTATE = (1, 1), (16, 32), 4
+
+
+def _synthetic_state_dict():
+    """Build a state_dict with the reference's exact keys/shapes
+    (MedMamba.py:146-767 naming) filled with random values."""
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = torch.randn(*shape, generator=g)
+
+    add("patch_embed.proj.weight", DIMS[0], 3, 4, 4)
+    add("patch_embed.proj.bias", DIMS[0])
+    add("patch_embed.norm.weight", DIMS[0])
+    add("patch_embed.norm.bias", DIMS[0])
+    for i, depth in enumerate(DEPTHS):
+        dim = DIMS[i]
+        half = dim // 2
+        d_inner = 2 * half
+        R = max(1, int(np.ceil(half / 16)))
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            add(p + ".ln_1.weight", half)
+            add(p + ".ln_1.bias", half)
+            sa = p + ".self_attention"
+            add(sa + ".in_proj.weight", 2 * d_inner, half)
+            add(sa + ".conv2d.weight", d_inner, 1, 3, 3)
+            add(sa + ".conv2d.bias", d_inner)
+            add(sa + ".x_proj_weight", 4, R + 2 * DSTATE, d_inner)
+            add(sa + ".dt_projs_weight", 4, d_inner, R)
+            add(sa + ".dt_projs_bias", 4, d_inner)
+            add(sa + ".A_logs", 4 * d_inner, DSTATE)
+            add(sa + ".Ds", 4 * d_inner)
+            add(sa + ".out_norm.weight", d_inner)
+            add(sa + ".out_norm.bias", d_inner)
+            add(sa + ".out_proj.weight", half, d_inner)
+            cb = p + ".conv33conv33conv11"
+            for bn_idx in (0, 2, 5):
+                add(f"{cb}.{bn_idx}.weight", half)
+                add(f"{cb}.{bn_idx}.bias", half)
+                add(f"{cb}.{bn_idx}.running_mean", half)
+                sd[f"{cb}.{bn_idx}.running_var"] = torch.rand(
+                    half, generator=g) + 0.5
+            add(cb + ".1.weight", half, half, 3, 3)
+            add(cb + ".1.bias", half)
+            add(cb + ".4.weight", half, half, 3, 3)
+            add(cb + ".4.bias", half)
+            add(cb + ".7.weight", half, half, 1, 1)
+            add(cb + ".7.bias", half)
+        if i < len(DEPTHS) - 1:
+            add(f"layers.{i}.downsample.norm.weight", 4 * dim)
+            add(f"layers.{i}.downsample.norm.bias", 4 * dim)
+            add(f"layers.{i}.downsample.reduction.weight", 2 * dim, 4 * dim)
+    add("head.weight", 5, DIMS[-1])
+    add("head.bias", 5)
+    return sd
+
+
+def test_import_structure_matches_flax_init():
+    sd = _synthetic_state_dict()
+    params, stats = import_medmamba_state_dict(
+        sd, depths=DEPTHS, dims=DIMS, d_state=DSTATE)
+
+    model = create_model("medmamba", num_classes=5, depths=DEPTHS, dims=DIMS,
+                         d_state=DSTATE, drop_path_rate=0.0)
+    x = jnp.ones((1, 32, 32, 3))
+    ref = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    # identical treedefs + shapes
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref["params"])[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(
+        jax.tree_util.tree_map(jnp.asarray, params))[0]
+    ref_map = {jax.tree_util.keystr(k): v.shape for k, v in ref_flat}
+    got_map = {jax.tree_util.keystr(k): np.asarray(v).shape
+               for k, v in got_flat}
+    assert ref_map == got_map, set(ref_map) ^ set(got_map)
+
+    # imported model runs
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                 "batch_stats": _as_stats(ref["batch_stats"], stats)}
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def _as_stats(ref_stats, imported):
+    """Overlay imported BN stats onto the init batch_stats structure."""
+    import jax
+
+    def merge(a, b):
+        if not isinstance(a, dict) or "mean" in a:
+            return jnp.asarray(b) if not isinstance(b, dict) else \
+                {k: jnp.asarray(v) for k, v in b.items()}
+        return {k: merge(v, b[k]) if isinstance(b, dict) and k in b else v
+                for k, v in a.items()}
+
+    import flax
+    a = flax.core.unfreeze(ref_stats)
+    return merge(a, imported)
