@@ -71,6 +71,21 @@ def _efficient_scan_core(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     xs = efficient_scan(x, step)                          # [B, 4, L4, D]
     K = xs.shape[1]
     L4 = xs.shape[2]
+
+    from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
+        fused_supported, ss2d_scan_fused)
+    if impl in ("auto", "pallas") and fused_supported(L4, D, d_state):
+        f32 = jnp.float32
+        y4 = ss2d_scan_fused(
+            xs.reshape(Bb * K, L4, D),
+            x_proj_w[:, :dt_rank].astype(f32),
+            x_proj_w[:, dt_rank:dt_rank + d_state].astype(f32),
+            x_proj_w[:, dt_rank + d_state:].astype(f32),
+            dt_proj_w.astype(f32),
+            -jnp.exp(A_log.astype(f32)),
+            Ds.astype(f32), dt_proj_b.astype(f32))
+        return efficient_merge(y4.reshape(Bb, K, L4, D), H, W, step)
+
     x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
     dts = jnp.einsum("bklr,kdr->bkld", x_dbl[..., :dt_rank], dt_proj_w)
     Bmat = x_dbl[..., dt_rank:dt_rank + d_state]
