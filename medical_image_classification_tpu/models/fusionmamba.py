@@ -74,7 +74,7 @@ def _efficient_scan_core(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
 
     from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
         fused_supported, ss2d_scan_fused)
-    if impl in ("auto", "pallas") and fused_supported(L4, D, d_state):
+    if impl == "pallas_fused" and fused_supported(L4, D, d_state):
         f32 = jnp.float32
         y4 = ss2d_scan_fused(
             xs.reshape(Bb * K, L4, D),

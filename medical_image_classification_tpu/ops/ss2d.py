@@ -54,7 +54,11 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         pallas_folded_supported, selective_scan_pallas_folded)
     from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
         fused_supported, ss2d_scan_fused)
-    if impl in ("auto", "pallas") and fused_supported(L, D, d_state):
+    # NB: measured on v5e, the fused path is ~8% slower for TRAINING than
+    # unfused-kernel + XLA einsums (in-kernel small matmuls pipeline worse
+    # than XLA's batched projection einsums) and neutral for inference, so
+    # it is opt-in via impl="pallas_fused".
+    if impl == "pallas_fused" and fused_supported(L, D, d_state):
         # fully fused path: Δ/B/C projections run INSIDE the kernel; the
         # only large HBM tensors are xs and y.
         f32 = jnp.float32
