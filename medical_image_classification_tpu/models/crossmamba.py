@@ -252,7 +252,6 @@ class FusionVFEFM(nn.Module):
         nd = len(self.depths_decoder)
         dpr_d = np.linspace(0, self.drop_path_rate,
                             sum(self.depths_decoder)).tolist()
-        skips_rev = list(reversed(skips))
         p = 0
         for j in range(nd):
             d = self.depths_decoder[j]
@@ -264,9 +263,12 @@ class FusionVFEFM(nn.Module):
                 use_skip = False
             else:
                 # match the skip whose spatial size equals the post-upsample
-                # size (`:1249-1266`); statically resolvable here.
+                # size (`:1249-1266`): layer j sits at encoder level
+                # nd-2-j after its upsample (level 0 for the last layer,
+                # which reuses the H/4 skip like the reference's search).
                 use_skip = True
-                s1, s2 = skips_rev[j]
+                idx = 0 if j == nd - 1 else nd - 2 - j
+                s1, s2 = skips[idx]
             x1, x2 = UpLayer(
                 dim=block_dim, depth=d, cat_method=self.cat_method,
                 d_state=self.d_state, ssd_headdim=self.ssd_headdim,

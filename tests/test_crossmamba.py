@@ -96,3 +96,16 @@ def test_fusion_grads_flow():
     g = jax.grad(loss)(vars_["params"])
     fusion_g = g["layers_0"]["fusion"]["A_logs"]
     assert bool(jnp.any(fusion_g != 0))
+
+
+def test_fusion_unet_four_stage_default_wiring():
+    """4-stage decoder skip selection (the default depths) must build —
+    regression for the skip-level indexing bug."""
+    m = FusionVFEFM(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                    depths_decoder=(1, 1, 1, 1), dims_decoder=(64, 32, 16, 8),
+                    d_state=4, ssd_headdim=4, drop_path_rate=0.0)
+    x1 = jnp.ones((1, 64, 64, 3)) * 0.4
+    x2 = jnp.ones((1, 64, 64, 3)) * 0.6
+    out, _ = _init_apply(m, x1, x2)
+    assert out.shape == (1, 64, 64, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
