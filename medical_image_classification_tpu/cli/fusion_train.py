@@ -38,9 +38,18 @@ def main(args):
     spe = loader.steps_per_epoch()
     log.info("%d pairs, %d steps/epoch", len(pairs), spe)
 
+    kw = {}
+    if args.depths:
+        kw["depths"] = tuple(int(v) for v in args.depths.split(","))
+        kw["depths_decoder"] = kw["depths"][::-1]
+    if args.dims:
+        kw["dims"] = tuple(int(v) for v in args.dims.split(","))
+        kw["dims_decoder"] = kw["dims"][::-1]
+    if args.headdim:
+        kw["ssd_headdim"] = args.headdim
     model = FusionVFEFM(single_decoder=args.single_decoder,
                         d_state=args.d_state,
-                        cat_method=args.cat_method)
+                        cat_method=args.cat_method, **kw)
     sched = make_schedule("fusion_exp", args.lr, spe, args.epochs,
                           decay=args.lr_decay)
     tx = make_optimizer("adam", sched)
@@ -105,6 +114,9 @@ if __name__ == "__main__":
     p.add_argument("--d-state", type=int, default=128)
     p.add_argument("--cat-method", default="stack")
     p.add_argument("--single-decoder", action="store_true")
+    p.add_argument("--depths", default=None, help="comma ints, e.g. 2,2,4,2")
+    p.add_argument("--dims", default=None, help="comma ints, e.g. 128,256,512,1024")
+    p.add_argument("--headdim", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--save-path", default="runs/fusion.ckpt")
