@@ -166,3 +166,65 @@ def _merge_stats(base, new):
     for k, v in new.items():
         out[k] = _merge_stats(base.get(k, {}), v)
     return out
+
+
+def _ss2d_ssd(sd, p, nheads: int):
+    """SS2D_with_SSD parameter group (`CNN_Mamba.py:322-564`)."""
+    K = 4
+    return {
+        "in_proj": _dense(sd, p + ".in_proj"),
+        "conv2d": _conv2d(sd, p + ".conv2d"),
+        "dt_bias": np.asarray(sd[p + ".dt_bias"]),          # already [4, H]
+        "A_logs": np.asarray(sd[p + ".A_logs"]).reshape(K, nheads),
+        "Ds": np.asarray(sd[p + ".Ds"]).reshape(K, nheads),
+        "norm_weight": np.asarray(sd[p + ".norm.weight"]),
+        "out_proj": _dense(sd, p + ".out_proj"),
+    }
+
+
+def import_medssd_state_dict(sd: Dict[str, Any], depths=(2, 2, 4, 2),
+                             dims=(128, 256, 512, 1024), headdim: int = 64,
+                             expand: int = 2,
+                             conv_stem: bool = False) -> Tuple[dict, dict]:
+    """Reference MedSSD / CNN_Mamba state_dict -> (params, batch_stats)."""
+    if "model" in sd and not any(k.startswith("patch_embed") for k in sd):
+        sd = sd["model"]
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+    params: dict = {}
+    stats: dict = {}
+    if conv_stem:
+        bn_p, bn_s = _bn(sd, "conv_T_conv.bn")
+        params["conv_t_conv"] = {
+            "bn": bn_p,
+            "conv1": _conv2d(sd, "conv_T_conv.conv1"),
+            "conv2": _conv2d(sd, "conv_T_conv.conv2"),
+            "pw": _conv2d(sd, "conv_T_conv.PW_conv"),
+        }
+        stats["conv_t_conv"] = {"bn": bn_s}
+    params["patch_embed"] = {"proj": _conv2d(sd, "patch_embed.proj"),
+                             "norm": _ln(sd, "patch_embed.norm")}
+    for i, depth in enumerate(depths):
+        layer: dict = {}
+        layer_stats: dict = {}
+        half = dims[i] // 2
+        nheads = (expand * half) // headdim
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            cb_p, cb_s = _conv_branch(sd, p + ".conv33conv33conv11")
+            layer[f"blocks_{j}"] = {
+                "ln_1": _ln(sd, p + ".ln_1"),
+                "self_attention": _ss2d_ssd(sd, p + ".self_attention", nheads),
+                "conv_branch": cb_p,
+            }
+            layer_stats[f"blocks_{j}"] = {"conv_branch": cb_s}
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            layer["downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {"kernel": _t(
+                    sd[f"layers.{i}.downsample.reduction.weight"])},
+            }
+        params[f"layers_{i}"] = layer
+        stats[f"layers_{i}"] = layer_stats
+    params["classifier"] = {"head": _dense(sd, "head")}
+    return params, stats

@@ -156,3 +156,18 @@ def test_fused_kernel_matches_composed(monkeypatch):
     for a_, b_, nm in zip(g1, g2, "x Wdt WB WC dtw A Dskip bias".split()):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=5e-3, atol=5e-3, err_msg=nm)
+
+
+def test_pallas_bf16_inputs(monkeypatch):
+    """bf16 activations with fp32 params: output in bf16, tolerances bf16."""
+    rng = jax.random.PRNGKey(21)
+    u, delta, A, B, C, D, bias = _make(rng, 1, 2, 64, 32, 4)
+    bf = jnp.bfloat16
+    y = ssp.selective_scan_pallas_folded(
+        u.astype(bf), delta.astype(bf), A, B.astype(bf), C.astype(bf),
+        D, bias)
+    assert y.dtype == bf
+    y_ref = ssp._xla_equivalent(u, delta, A, B, C, D, bias)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=5e-2, atol=8e-2)

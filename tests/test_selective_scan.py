@@ -124,3 +124,15 @@ def test_scan_is_jittable_and_stable():
     y = f(u, delta, A, B, C, D, z, db)
     assert y.shape == (1, 1000, 4)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_long_sequence_2048():
+    """Long-sequence parity (reference suite covers up to 4096)."""
+    rng = jax.random.PRNGKey(13)
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        rng, 1, 2048, 4, 8, None, jnp.float32, True, False, True,
+        softplus=True)
+    y_ref = selective_scan_seq(u, delta, A, B, C, D, None, db, True)
+    y = selective_scan_xla(u, delta, A, B, C, D, None, db, True, chunk=128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=3e-3)

@@ -114,3 +114,73 @@ def _as_stats(ref_stats, imported):
     import flax
     a = flax.core.unfreeze(ref_stats)
     return merge(a, imported)
+
+
+def test_medssd_import_structure():
+    """SSD-family importer: synthetic reference-schema dict -> Flax tree."""
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_medssd_state_dict)
+    depths, dims, hd = (1, 1), (16, 32), 8
+    g = torch.Generator().manual_seed(1)
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = torch.randn(*shape, generator=g)
+
+    add("patch_embed.proj.weight", dims[0], 3, 4, 4)
+    add("patch_embed.proj.bias", dims[0])
+    add("patch_embed.norm.weight", dims[0])
+    add("patch_embed.norm.bias", dims[0])
+    dstate = 8
+    for i, depth in enumerate(depths):
+        dim = dims[i]
+        half = dim // 2
+        d_inner = 2 * half
+        nheads = d_inner // hd
+        d_in_proj = 2 * d_inner + 2 * dstate + nheads
+        conv_dim = d_inner + 2 * dstate + nheads
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            add(p + ".ln_1.weight", half)
+            add(p + ".ln_1.bias", half)
+            sa = p + ".self_attention"
+            add(sa + ".in_proj.weight", d_in_proj, half)
+            add(sa + ".conv2d.weight", conv_dim, 1, 3, 3)
+            add(sa + ".conv2d.bias", conv_dim)
+            add(sa + ".dt_bias", 4, nheads)
+            add(sa + ".A_logs", 4 * nheads)
+            add(sa + ".Ds", 4 * nheads)
+            add(sa + ".norm.weight", d_inner)
+            add(sa + ".out_proj.weight", half, d_inner)
+            cb = p + ".conv33conv33conv11"
+            for bn_idx in (0, 2, 5):
+                add(f"{cb}.{bn_idx}.weight", half)
+                add(f"{cb}.{bn_idx}.bias", half)
+                add(f"{cb}.{bn_idx}.running_mean", half)
+                sd[f"{cb}.{bn_idx}.running_var"] = torch.rand(
+                    half, generator=g) + 0.5
+            add(cb + ".1.weight", half, half, 3, 3)
+            add(cb + ".1.bias", half)
+            add(cb + ".4.weight", half, half, 3, 3)
+            add(cb + ".4.bias", half)
+            add(cb + ".7.weight", half, half, 1, 1)
+            add(cb + ".7.bias", half)
+        if i < len(depths) - 1:
+            add(f"layers.{i}.downsample.norm.weight", 4 * dim)
+            add(f"layers.{i}.downsample.norm.bias", 4 * dim)
+            add(f"layers.{i}.downsample.reduction.weight", 2 * dim, 4 * dim)
+    add("head.weight", 5, dims[-1])
+    add("head.bias", 5)
+
+    params, stats = import_medssd_state_dict(
+        sd, depths=depths, dims=dims, headdim=hd)
+    model = create_model("medssd", num_classes=5, depths=depths, dims=dims,
+                         d_state=8, ssd_headdim=hd, drop_path_rate=0.0)
+    x = jnp.ones((1, 32, 32, 3))
+    ref = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref_map = {jax.tree_util.keystr(k): v.shape for k, v in
+               jax.tree_util.tree_flatten_with_path(ref["params"])[0]}
+    got_map = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+               jax.tree_util.tree_flatten_with_path(
+                   jax.tree_util.tree_map(jnp.asarray, params))[0]}
+    assert ref_map == got_map, set(ref_map) ^ set(got_map)
