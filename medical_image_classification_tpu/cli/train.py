@@ -73,7 +73,7 @@ def main(cfg: TrainConfig):
                        jnp.uint8)
     state = init_train_state(model, rng, sample, tx)
 
-    mesh = make_mesh(tp=cfg.tp)
+    mesh = make_mesh(tp=cfg.tp, batch_size=cfg.batch_size)
     state = shard_state(state, mesh)
     bsh = batch_sharding(mesh)
 

@@ -21,12 +21,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(tp: int = 1, devices=None) -> Mesh:
+def make_mesh(tp: int = 1, devices=None, batch_size: Optional[int] = None) -> Mesh:
+    """('data', 'model') mesh over the devices.
+
+    When ``batch_size`` is given, the data axis shrinks to the largest
+    device count that divides it (a 4-image debug batch on an 8-device host
+    should run, not crash)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % tp:
         raise ValueError(f"{n} devices not divisible by tp={tp}")
-    arr = np.array(devices).reshape(n // tp, tp)
+    dp = n // tp
+    if batch_size is not None:
+        while dp > 1 and batch_size % dp:
+            dp -= 1
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("data", "model"))
 
 
