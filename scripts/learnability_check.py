@@ -8,6 +8,8 @@ Last run (2026-08-16, v5e-1):
   held-out acc: 1.000
 """
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np
 from medical_image_classification_tpu.models import create_model
