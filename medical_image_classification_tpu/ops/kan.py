@@ -253,3 +253,22 @@ def _set_along(a, idx, val, axis):
     sl = [slice(None)] * a.ndim
     sl[axis] = idx
     return a.at[tuple(sl)].set(val)
+
+
+def okan_refine_grid(grid, coef, new_num: int, k: int,
+                     samples=None, n_eval: int = 256):
+    """Grid refinement (`o_kan.py:369-418` initialize_grid_from_parent):
+    re-fit the layer on a finer grid (new_num intervals) while preserving
+    the learned function.  Returns (new_grid, new_coef)."""
+    in_dim = grid.shape[0]
+    lo = grid[:, k][:, None]
+    hi = grid[:, -(k + 1)][:, None]
+    if samples is None:
+        t = jnp.linspace(0.0, 1.0, n_eval)[None, :]
+        samples = (lo + (hi - lo) * t).T                 # [n_eval, in]
+    y_eval = coef2curve(samples, grid, coef, k)          # [n_eval, in, out]
+    t2 = jnp.linspace(0.0, 1.0, new_num + 1)[None, :]
+    new_core = (lo + (hi - lo) * t2)                     # [in, new_num+1]
+    new_grid = extend_grid(new_core, k)
+    new_coef = okan_curve2coef(samples, y_eval, new_grid, k)
+    return new_grid, new_coef

@@ -228,3 +228,36 @@ def import_medssd_state_dict(sd: Dict[str, Any], depths=(2, 2, 4, 2),
         stats[f"layers_{i}"] = layer_stats
     params["classifier"] = {"head": _dense(sd, "head")}
     return params, stats
+
+
+def import_mamba_lm_state_dict(sd: Dict[str, Any], n_layer: int) -> dict:
+    """Reference/HF Mamba-1 LM state_dict -> MambaLMHeadModel params
+    (`mamba_ssm/models/mixer_seq_simple.py` + `utils/hf.py` naming;
+    'backbone.' prefixes stripped)."""
+    sd = {(k[9:] if k.startswith("backbone.") else k): v
+          for k, v in sd.items()}
+    params: dict = {
+        "embedding": {"embedding": np.asarray(sd["embedding.weight"])},
+        "norm_f": {"scale": np.asarray(sd["norm_f.weight"])},
+    }
+    for i in range(n_layer):
+        p = f"layers.{i}"
+        mixer = {
+            "in_proj": _dense(sd, p + ".mixer.in_proj"),
+            "conv1d_weight": np.asarray(
+                sd[p + ".mixer.conv1d.weight"])[:, 0, :].T,  # [D,1,K]->[K,D]
+            "x_proj": _dense(sd, p + ".mixer.x_proj"),
+            "dt_proj_weight": np.asarray(sd[p + ".mixer.dt_proj.weight"]),
+            "dt_proj_bias": np.asarray(
+                sd[p + ".mixer.dt_proj.bias"])[None, :],
+            "A_log": np.asarray(sd[p + ".mixer.A_log"]),
+            "D": np.asarray(sd[p + ".mixer.D"]),
+            "out_proj": _dense(sd, p + ".mixer.out_proj"),
+        }
+        if p + ".mixer.conv1d.bias" in sd:
+            mixer["conv1d_bias"] = np.asarray(sd[p + ".mixer.conv1d.bias"])
+        params[f"layers_{i}"] = {
+            "norm": {"scale": np.asarray(sd[p + ".norm.weight"])},
+            "mixer": mixer,
+        }
+    return params

@@ -98,3 +98,19 @@ def test_bspline_parity_with_reference_ekan():
     grid = jnp.asarray(layer.grid.numpy())
     ours = kan_ops.b_splines(jnp.asarray(x_np), grid, layer.spline_order)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_okan_refine_grid_preserves_function():
+    """Finer grid must reproduce the parent layer's function."""
+    k, num, in_dim, out = 3, 5, 3, 2
+    g0 = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, num + 1), (in_dim, num + 1))
+    grid = kan_ops.extend_grid(g0, k)
+    coef = 0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                   (in_dim, out, num + k))
+    new_grid, new_coef = kan_ops.okan_refine_grid(grid, coef, new_num=10, k=k)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, in_dim),
+                           minval=-0.9, maxval=0.9)
+    y_old = kan_ops.coef2curve(x, grid, coef, k)
+    y_new = kan_ops.coef2curve(x, new_grid, new_coef, k)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_old),
+                               atol=5e-3)

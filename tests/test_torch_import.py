@@ -184,3 +184,51 @@ def test_medssd_import_structure():
                jax.tree_util.tree_flatten_with_path(
                    jax.tree_util.tree_map(jnp.asarray, params))[0]}
     assert ref_map == got_map, set(ref_map) ^ set(got_map)
+
+
+def test_mamba_lm_import_structure():
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_mamba_lm_state_dict)
+    from medical_image_classification_tpu.models.mamba_lm import (
+        MambaConfig, MambaLMHeadModel)
+    cfg = MambaConfig(d_model=16, n_layer=2, vocab_size=48, d_state=4,
+                      pad_vocab_size_multiple=8)
+    d_inner = 2 * cfg.d_model
+    R = 1
+    g = torch.Generator().manual_seed(2)
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = torch.randn(*shape, generator=g)
+
+    add("backbone.embedding.weight", 48, cfg.d_model)
+    add("backbone.norm_f.weight", cfg.d_model)
+    for i in range(cfg.n_layer):
+        p = f"backbone.layers.{i}"
+        add(p + ".norm.weight", cfg.d_model)
+        add(p + ".mixer.in_proj.weight", 2 * d_inner, cfg.d_model)
+        add(p + ".mixer.conv1d.weight", d_inner, 1, cfg.d_conv)
+        add(p + ".mixer.conv1d.bias", d_inner)
+        add(p + ".mixer.x_proj.weight", R + 2 * cfg.d_state, d_inner)
+        add(p + ".mixer.dt_proj.weight", d_inner, R)
+        add(p + ".mixer.dt_proj.bias", d_inner)
+        add(p + ".mixer.A_log", d_inner, cfg.d_state)
+        add(p + ".mixer.D", d_inner)
+        add(p + ".mixer.out_proj.weight", cfg.d_model, d_inner)
+    params = import_mamba_lm_state_dict(sd, n_layer=cfg.n_layer)
+
+    model = MambaLMHeadModel(cfg)
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    ref = model.init({"params": jax.random.PRNGKey(0)}, ids)
+    ref_map = {jax.tree_util.keystr(k): v.shape for k, v in
+               jax.tree_util.tree_flatten_with_path(ref["params"])[0]}
+    got_map = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+               jax.tree_util.tree_flatten_with_path(
+                   jax.tree_util.tree_map(jnp.asarray, params))[0]}
+    # embedding padded to vocab multiple: allow that one shape to differ
+    emb_key = "['embedding']['embedding']"
+    assert set(ref_map) == set(got_map), set(ref_map) ^ set(got_map)
+    for kk in ref_map:
+        if kk == emb_key:
+            continue
+        assert ref_map[kk] == got_map[kk], (kk, ref_map[kk], got_map[kk])
