@@ -152,8 +152,6 @@ def import_checkpoint_into_state(path: str, state, model_name="medmamba",
     params = to_jnp(params)
     model_state = dict(state.model_state)
     # merge imported BN stats into the existing batch_stats structure
-    import jax
-    flat_new = dict(jax.tree_util.tree_flatten_with_path(to_jnp(stats))[0])
     bs = model_state.get("batch_stats", {})
     model_state["batch_stats"] = _merge_stats(bs, to_jnp(stats))
     return state.replace(params=params, model_state=FrozenDict(model_state))
