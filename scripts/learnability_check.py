@@ -3,10 +3,13 @@
 scan) trains an 8-class synthetic oriented-grating task to 100% held-out
 accuracy in 150 steps.
 
-Last run (2026-08-16, v5e-1):
-  step 0: loss 2.2226 acc 0.156 ... step 149: loss 0.0002 acc 1.000
-  held-out acc: 1.000
+Last runs (2026-08-16, v5e-1):
+  medmamba: step 0 loss 2.2226 acc 0.156 ... step 149 loss 0.0002 acc 1.000;
+            held-out acc 1.000
+  medssd:   step 0 loss 2.1742 ... step 99 loss 0.0000; held-out acc 1.000
+Pass --model medssd to run the SSD core instead.
 """
+import argparse
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,7 +36,11 @@ def make_batch(rng, n=32):
 
 
 if __name__ == "__main__":
-    model = create_model("medmamba", num_classes=8, dtype=jnp.bfloat16)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="medmamba")
+    ap.add_argument("--steps", type=int, default=150)
+    a = ap.parse_args()
+    model = create_model(a.model, num_classes=8, dtype=jnp.bfloat16)
     tx = make_optimizer("adam", 1e-4)
     rng_np = np.random.default_rng(0)
     imgs0, labels0 = make_batch(rng_np)
@@ -42,10 +49,10 @@ if __name__ == "__main__":
     step = make_train_step(model)
     ev = make_eval_step(model)
     key = jax.random.PRNGKey(1)
-    for it in range(150):
+    for it in range(a.steps):
         imgs, labels = make_batch(rng_np)
         state, m = step(state, jnp.asarray(imgs), jnp.asarray(labels), key)
-        if it % 30 == 0 or it == 149:
+        if it % 30 == 0 or it == a.steps - 1:
             print(f"step {it}: loss {float(m['loss']):.4f} "
                   f"acc {float(m['accuracy']):.3f}", flush=True)
     rng_ho = np.random.default_rng(999)
