@@ -64,9 +64,13 @@ def medmamba_b(num_classes, **kw):
 
 @register("medssd")
 def medssd(num_classes, **kw):
-    """MedSSD (Mamba-2/SSD core), `SSD/MedSSD.py` defaults."""
+    """MedSSD (Mamba-2/SSD core), `SSD/MedSSD.py` defaults.
+
+    NB the reference's VSSM here defaults d_state=128 (`SSD/MedSSD.py:594`),
+    unlike every other SSD-family file (d_state=16); with the reference's
+    B/C flattening that makes the effective per-head state K*128=512."""
     return _build(num_classes, dict(depths=(2, 2, 4, 2),
-                dims=(128, 256, 512, 1024), d_state=16, core="ssd"), kw)
+                dims=(128, 256, 512, 1024), d_state=128, core="ssd"), kw)
 
 
 @register("cnn_mamba")

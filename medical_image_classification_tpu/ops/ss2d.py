@@ -112,7 +112,8 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
 
 def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
                   d_state: int, nheads: int, headdim: int,
-                  chunk_size: int = 256, merge: bool = True):
+                  chunk_size: int = 256, merge: bool = True,
+                  bc_layout: str = "ref_flat"):
     """Mamba-2 (SSD) 4-direction 2-D scan.
 
     xBCdt  : [B, H, W, d_ssm + 2*ngroups*d_state + nheads]
@@ -121,12 +122,17 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     dt_bias: [4, nheads]
     Ds     : [4, nheads]  (or [4, d_ssm] if D has headdim)
 
-    Directions fold into heads AND B/C groups (direction-major), so one
-    ``ssd_chunked`` call covers all four scans with clean per-direction
-    state.  (The reference instead reshapes B/C with g=ngroups after
-    flattening K — concatenating all directions' B/C into one 4*d_state
-    state shared by every head, `CNN_Mamba.py:515-521`; that is an accident
-    of flattening we deliberately do not reproduce.  See SURVEY §2.2 S2.)
+    Directions fold into the head axis (direction-major), one ``ssd_chunked``
+    call for all four scans.  ``bc_layout`` selects the B/C grouping:
+
+    * ``"ref_flat"`` (default, matches the reference bit-for-bit): after the
+      reference flattens K into channels it regroups B/C with ``g=ngroups``
+      (`SSD/MedSSD.py:343-358`, `CNN_Mamba.py:515-521`), so each group's
+      state dimension becomes K*d_state shared by every head — directions
+      are coupled through the state.  FLOP-equal to per-direction grouping
+      (1 group x K*N vs K groups x N), reproduced for logit parity.
+    * ``"per_direction"``: clean per-direction states (groups g = (k, group));
+      same cost, no cross-direction coupling.  Not reference-equivalent.
     """
     Bb, H, W, Cc = xBCdt.shape
     L = H * W
@@ -138,11 +144,16 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     Cmat = xs_all[..., d_ssm + gn:d_ssm + 2 * gn]
     dts = xs_all[..., d_ssm + 2 * gn:]
 
-    # direction-major folds: heads h = (k, head), groups g = (k, group)
+    # direction-major folds: heads h = (k, head)
     xh = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * nheads, headdim)
-    Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
-    Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
     dth = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * nheads)
+    if bc_layout == "ref_flat":
+        assert ngroups == 1, "ref_flat layout requires ngroups=1 (all models)"
+        Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, 1, K * d_state)
+        Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, 1, K * d_state)
+    else:
+        Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
+        Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
 
     A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * nheads)
     Df = Ds.astype(jnp.float32).reshape(-1)
