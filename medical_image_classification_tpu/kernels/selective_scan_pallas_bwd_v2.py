@@ -53,26 +53,55 @@ def _block_suffix(tot_a, tot_b, nb):
 
 
 def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
-                   xin_ref, dy_ref,
-                   du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref,
-                   dD_ref,
-                   g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr,
-                   *, T: int, S: int, nT: int, Dt: int):
+                   xin_ref, dy_ref, *refs,
+                   T: int, S: int, nT: int, Dt: int,
+                   reverse: bool = False, softplus: bool = True,
+                   has_dlast: bool = False, L_total: int = 0):
+    """Backward for one chunk.  ``reverse=True`` is the adjoint of a
+    REVERSE forward scan (x_t = a_t x_{t+1} + b_t): the grid walks chunks
+    first-to-last, the state recompute is a suffix pass seeded from the
+    right-incoming saved states, and the adjoint recurrence g_t = C_t dy_t
+    + a_{t-1} g_{t-1} runs forward in time — the exact mirror image of the
+    default (forward-scan) case."""
+    if has_dlast:
+        dlast_ref = refs[0]
+        refs = refs[1:]
+    (du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref, dD_ref,
+     g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr) = refs
     lidx = pl.program_id(1)
     dtile = pl.program_id(2)
     first = lidx == 0
 
     @pl.when(first)
     def _():
-        g_carry[...] = jnp.zeros_like(g_carry)
-        dA_acc[...] = jnp.zeros_like(dA_acc)
-        dbias_acc[...] = jnp.zeros_like(dbias_acc)
-        dD_acc[...] = jnp.zeros_like(dD_acc)
+        if has_dlast:
+            # cotangent of the returned final state seeds the adjoint: it
+            # reaches the last position with factor 1 (the combine chain
+            # applies the a factors for earlier positions)
+            g_carry[dtile] = dlast_ref[0].astype(jnp.float32)
+        else:
+            g_carry[dtile] = jnp.zeros_like(g_carry[dtile])
+        dA_acc[dtile] = jnp.zeros_like(dA_acc[dtile])
+        dbias_acc[dtile] = jnp.zeros_like(dbias_acc[dtile])
+        dD_acc[dtile] = jnp.zeros_like(dD_acc[dtile])
 
     u_f = u_ref[0].astype(jnp.float32)                      # [T, Dt]
     dt_raw = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
-    dt_f = jax.nn.softplus(dt_raw)
-    sig_f = jax.nn.sigmoid(dt_raw)
+    if softplus:
+        dt_f = jax.nn.softplus(dt_raw)
+        sig_f = jax.nn.sigmoid(dt_raw)
+    else:
+        dt_f = dt_raw
+        sig_f = jnp.ones_like(dt_raw)
+    if has_dlast:
+        # mirror the forward's want_state pad handling: dt=0 on pad rows so
+        # the dlast adjoint propagates with decay 1 and pad rows contribute
+        # nothing to the dt/A/bias gradients
+        ci = lidx if reverse else (nT - 1 - lidx)
+        pos = ci * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        inb = pos < L_total
+        dt_f = jnp.where(inb, dt_f, 0.0)
+        sig_f = jnp.where(inb, sig_f, 0.0)
     A = A_ref[0].astype(jnp.float32)                        # [N, Dt]
     Bv_f = B_ref[0].astype(jnp.float32)                     # [T, N]
     Cv_f = C_ref[0].astype(jnp.float32)
@@ -84,12 +113,9 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     N = A.shape[0]
     a_flat = jnp.exp(dt_f[:, None, :] * A[None])            # [T, N, Dt]
     b_flat = (dt_f * u_f)[:, None, :] * Bv_f[:, :, None]
-    # â_t = a_{t+1} across the whole chunk (last = 1)
-    ah_flat = jnp.concatenate([a_flat[1:], jnp.ones_like(a_flat[:1])], axis=0)
 
     a = a_flat.reshape(nb, S, N, Dt)
     b = b_flat.reshape(nb, S, N, Dt)
-    ah = ah_flat.reshape(nb, S, N, Dt)
     C4 = Cv_f.reshape(nb, S, N)
     B4 = Bv_f.reshape(nb, S, N)
     dy4 = dy_f.reshape(nb, S, Dt)
@@ -97,54 +123,91 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     dt4 = dt_f.reshape(nb, S, Dt)
     sig4 = sig_f.reshape(nb, S, Dt)
 
-    # ---- forward recompute (two-level prefix) ----
-    acc_a = a[:, 0]
-    acc_b = b[:, 0]
-    xloc = [acc_b]
-    aruns = [acc_a]
-    for s in range(1, S):
+    # adjoint multiplier â at block position s: a of the time-NEIGHBOUR
+    # (t+1 for forward scans, t-1 for reverse ones); across block edges it
+    # shifts along nb, with 1 at the chunk edge (the cross-chunk carry is
+    # pre-multiplied when stored).  Indexing a[:, s±1] directly avoids the
+    # old whole-chunk shifted copy of a.
+    one_blk = jnp.ones((1, N, Dt), jnp.float32)
+    if reverse:
+        edge = jnp.concatenate([one_blk, a[:-1, S - 1]], axis=0)  # â at s=0
+        ah_at = lambda s: a[:, s - 1] if s > 0 else edge
+    else:
+        edge = jnp.concatenate([a[1:, 0], one_blk], axis=0)  # â at s=S-1
+        ah_at = lambda s: a[:, s + 1] if s < S - 1 else edge
+
+    # ---- state recompute (two-level; prefix for fwd scans, suffix for
+    # reverse scans, seeded from the saved incoming chunk state) ----
+    x_order = list(range(S - 1, -1, -1)) if reverse else list(range(S))
+    s0 = x_order[0]
+    acc_a = a[:, s0]
+    acc_b = b[:, s0]
+    xloc = {s0: acc_b}
+    aruns = {s0: acc_a}
+    for s in x_order[1:]:
         acc_b = a[:, s] * acc_b + b[:, s]
         acc_a = a[:, s] * acc_a
-        xloc.append(acc_b)
-        aruns.append(acc_a)
-    pa, pb = _block_prefix(acc_a, acc_b, nb)
+        xloc[s] = acc_b
+        aruns[s] = acc_a
     st = x_in[None]
-    e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)  # [nb, N, Dt]
+    if reverse:
+        pa, pb = _block_suffix(acc_a, acc_b, nb)
+        e_b = jnp.concatenate([pb[1:] + pa[1:] * st, st], axis=0)
+    else:
+        pa, pb = _block_prefix(acc_a, acc_b, nb)
+        e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)
 
-    # ---- reverse adjoint (two-level suffix): g_t = C dy + â_t g_{t+1} ----
+    # ---- adjoint (two-level, opposite direction to the forward scan) ----
     d4 = (C4[..., None] * dy4[:, :, None, :])               # [nb, S, N, Dt]
-    gacc = d4[:, S - 1]
-    ga = ah[:, S - 1]
-    gloc = [gacc]                                           # index by S-1-s
-    gruns = [ga]
-    for s in range(S - 2, -1, -1):
-        gacc = d4[:, s] + ah[:, s] * gacc
-        ga = ah[:, s] * ga
-        gloc.append(gacc)
-        gruns.append(ga)
-    sa, sb = _block_suffix(ga, gacc, nb)
-    # incoming from the LATER chunk (processed previously): pre-multiplied
+    g_order = list(range(S)) if reverse else list(range(S - 1, -1, -1))
+    t0 = g_order[0]
+    gacc = d4[:, t0]
+    ga = ah_at(t0)
+    gloc = {t0: gacc}
+    gruns = {t0: ga}
+    for s in g_order[1:]:
+        ahs = ah_at(s)
+        gacc = d4[:, s] + ahs * gacc
+        ga = ahs * ga
+        gloc[s] = gacc
+        gruns[s] = ga
     cin = g_carry[dtile][None]                              # [1, N, Dt]
-    e_g = jnp.concatenate([sb[1:] + sa[1:] * cin, cin], axis=0)  # [nb, N, Dt]
-    # earlier chunk's carry is PRE-multiplied by this chunk's first decay
-    g_carry[dtile] = a_flat[0] * (sb[0] + sa[0] * cin[0])
-    # NOTE e_g[j] = adjoint entering block j from blocks j+1.. and carry;
-    # g[:, s] = gloc[s] + gruns[s] * e_g
+    if reverse:
+        sa, sb = _block_prefix(ga, gacc, nb)
+        # incoming from the EARLIER chunk (grid walks forward)
+        e_g = jnp.concatenate([cin, sb[:-1] + sa[:-1] * cin], axis=0)
+        g_carry[dtile] = a_flat[T - 1] * (sb[nb - 1] + sa[nb - 1] * cin[0])
+    else:
+        sa, sb = _block_suffix(ga, gacc, nb)
+        # incoming from the LATER chunk (grid walks backward)
+        e_g = jnp.concatenate([sb[1:] + sa[1:] * cin, cin], axis=0)
+        g_carry[dtile] = a_flat[0] * (sb[0] + sa[0] * cin[0])
+    # NOTE e_g[j] = adjoint entering block j from the blocks already walked
+    # plus the cross-chunk carry; g[:, s] = gloc[s] + gruns[s] * e_g
 
-    # ---- materialise full x and g (scratch normalises layouts: Mosaic
-    # cannot reduce over offset-layout slices of 4D values) ----
+    # ---- materialise full x and g via scratch (normalises layouts:
+    # Mosaic cannot reduce over offset-layout slices of 4D values), then
+    # whole-chunk vectorised gradient expressions.  NB a fused per-block
+    # gradient loop was tried and measured SLOWER (stage2 fwd+bwd
+    # 2.95 -> 4.34 ms): 16 small [nb,N,Dt] passes vectorise worse than a
+    # few big [T,N,Dt] ones, and the per-s lane reductions add relayouts.
     for s in range(S):
         x_scr[:, s] = xloc[s] + aruns[s] * e_b              # [nb, N, Dt]
-        g_scr[:, s] = gloc[S - 1 - s] + gruns[S - 1 - s] * e_g
+        g_scr[:, s] = gloc[s] + gruns[s] * e_g
 
     x = x_scr[...].reshape(T, N, Dt)
     g = g_scr[...].reshape(T, N, Dt)
-    x_prev = jnp.concatenate([x_in[None], x[:T - 1]], axis=0)
+    a_whole = a.reshape(T, N, Dt)
+    if reverse:
+        # the recurrence multiplied the NEXT state: x_t = a_t x_{t+1} + b_t
+        x_prev = jnp.concatenate([x[1:], x_in[None]], axis=0)
+    else:
+        x_prev = jnp.concatenate([x_in[None], x[:T - 1]], axis=0)
 
-    # ---- gradients (whole-chunk expressions, as in the v1 backward) ----
+    # ---- gradients (whole-chunk expressions) ----
     gB = jnp.sum(g * Bv_f[:, :, None], axis=1)              # [T, Dt]
     du = dt_f * gB + Dsk * dy_f
-    g_ax = g * a_flat * x_prev
+    g_ax = g * a_whole * x_prev
     ddt = jnp.sum(g_ax * A[None], axis=1) + gB * u_f
     ddelta = sig_f * ddt
     du_ref[0] = du
@@ -172,7 +235,8 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
 
 def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
-                  S: int = 16):
+                  S: int = 16, reverse: bool = False, softplus: bool = True,
+                  dlast=None):
     G, L, Dm = u.shape
     K, _, N = A.shape
     nD = Dm // Dt
@@ -190,32 +254,43 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     nb = T // S
 
     grid = (G, nT, nD)
-    rev = lambda l: nT - 1 - l
+    # forward-scan adjoint walks chunks last-to-first; reverse-scan adjoint
+    # walks first-to-last (mirrors the forward kernel's chunk order)
+    rev = (lambda l: l) if reverse else (lambda l: nT - 1 - l)
 
-    kernel = functools.partial(_bwd_kernel_v2, T=T, S=S, nT=nT, Dt=Dt)
+    kernel = functools.partial(_bwd_kernel_v2, T=T, S=S, nT=nT, Dt=Dt,
+                               reverse=reverse, softplus=softplus,
+                               has_dlast=dlast is not None, L_total=L)
+    in_specs = [
+        pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, Dt), lambda g, l, d: (g % K, 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N, Dt), lambda g, l, d: (g, rev(l), 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :],
+                xsave, dy]
+    if dlast is not None:
+        in_specs.append(pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
+                                     memory_space=pltpu.VMEM))
+        operands.append(dlast)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, Dt), lambda g, l, d: (g % K, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, Dt), lambda g, l, d: (g, rev(l), 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                          memory_space=pltpu.VMEM),
@@ -252,7 +327,7 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_INTERPRET,
-    )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :], xsave, dy)
+    )(*operands)
 
     du, ddelta, dB, dC, dA_part, dbias_part, dD_part = outs
     du = du[:, :L]

@@ -30,7 +30,22 @@ _INTERPRET = False
 
 
 def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
-                    y_ref, xsave_ref, state, y_scr, *, T: int, S: int):
+                    *refs, T: int, S: int,
+                    reverse: bool = False, softplus: bool = True,
+                    want_state: bool = False, L_total: int = 0,
+                    nT_total: int = 0):
+    """One (sequence, L-chunk) grid step.
+
+    ``reverse=True`` scans the sequence back-to-front (x_t = a_t x_{t+1} +
+    b_t): the caller's index maps feed chunks last-to-first, the in-sub-block
+    pass runs S-1..0, the cross-block combine is a suffix scan, and the
+    carried state flows right-to-left.  This lets flipped scan directions
+    run over UNFLIPPED memory — no jnp.flip copies anywhere (the reference
+    materialises flipped tensors instead, `MedMamba.py:394-395`)."""
+    if want_state:
+        y_ref, xsave_ref, state_out_ref, state, y_scr = refs
+    else:
+        y_ref, xsave_ref, state, y_scr = refs
     lc = pl.program_id(1)
 
     @pl.when(lc == 0)
@@ -39,8 +54,17 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
     xsave_ref[0, 0] = state[...]
     u = u_ref[0].astype(jnp.float32)                    # [T, Dt]
-    dt = jax.nn.softplus(dt_ref[0].astype(jnp.float32)
-                         + bias_ref[0].astype(jnp.float32))
+    dt = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if softplus:
+        dt = jax.nn.softplus(dt)
+    if want_state:
+        # L-padding must not touch the returned final state: dt=0 there
+        # makes the pad decay exp(0*A)=1 and the pad injection 0 (u and B
+        # are zero-padded anyway).  softplus(0 + bias) != 0 would otherwise
+        # decay the state through the pad region of forward scans.
+        ci = (nT_total - 1 - lc) if reverse else lc     # chunk index in L
+        pos = ci * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        dt = jnp.where(pos < L_total, dt, 0.0)
     A = A_ref[0].astype(jnp.float32)                    # [N, Dt]
     Bv = B_ref[0].astype(jnp.float32)                   # [T, N]
     Cv = C_ref[0].astype(jnp.float32)
@@ -52,33 +76,43 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     C4 = Cv.reshape(nb, S, N)
 
     # sequential in-sub-block scan: local states + running decays + local y
-    acc_a = a[:, 0]                                     # [nb, N, Dt]
-    acc_b = b[:, 0]
-    a_runs = [acc_a]
-    y_loc = [jnp.sum(C4[:, 0][:, :, None] * acc_b, axis=1)]   # [nb, Dt]
-    corr_c = [C4[:, 0][:, :, None] * acc_a]             # C*a_run for the fix-up
-    for s in range(1, S):
+    order = range(S - 1, -1, -1) if reverse else range(S)
+    order = list(order)
+    s0 = order[0]
+    acc_a = a[:, s0]                                    # [nb, N, Dt]
+    acc_b = b[:, s0]
+    y_loc = {s0: jnp.sum(C4[:, s0][:, :, None] * acc_b, axis=1)}  # [nb, Dt]
+    corr_c = {s0: C4[:, s0][:, :, None] * acc_a}        # C*a_run for the fix-up
+    for s in order[1:]:
         acc_b = a[:, s] * acc_b + b[:, s]
         acc_a = a[:, s] * acc_a
-        a_runs.append(acc_a)
-        y_loc.append(jnp.sum(C4[:, s][:, :, None] * acc_b, axis=1))
-        corr_c.append(C4[:, s][:, :, None] * acc_a)
+        y_loc[s] = jnp.sum(C4[:, s][:, :, None] * acc_b, axis=1)
+        corr_c[s] = C4[:, s][:, :, None] * acc_a
     tot_a, tot_b = acc_a, acc_b                         # sub-block totals
 
     # inclusive doubling scan over the nb sub-block totals (tiny)
     pa, pb = tot_a, tot_b
     off = 1
     while off < nb:
-        ones = jnp.ones_like(pa[:off])
-        zeros = jnp.zeros_like(pb[:off])
-        a_sh = jnp.concatenate([ones, pa[:-off]], axis=0)
-        b_sh = jnp.concatenate([zeros, pb[:-off]], axis=0)
-        pb = pa * b_sh + pb
-        pa = pa * a_sh
+        if reverse:
+            a_sh = jnp.concatenate([pa[off:], jnp.ones_like(pa[:off])], axis=0)
+            b_sh = jnp.concatenate([pb[off:], jnp.zeros_like(pb[:off])], axis=0)
+            pb = pb + pa * b_sh
+            pa = pa * a_sh
+        else:
+            a_sh = jnp.concatenate([jnp.ones_like(pa[:off]), pa[:-off]], axis=0)
+            b_sh = jnp.concatenate([jnp.zeros_like(pb[:off]), pb[:-off]], axis=0)
+            pb = pa * b_sh + pb
+            pa = pa * a_sh
         off *= 2
-    # exclusive prefix per sub-block, with the chunk-incoming state folded in
+    # exclusive prefix/suffix per sub-block + chunk-incoming state folded in
     st = state[...][None]                               # [1, N, Dt]
-    e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)  # [nb, N, Dt]
+    if reverse:
+        e_b = jnp.concatenate([pb[1:] + pa[1:] * st, st], axis=0)
+        carry = pb[0] + pa[0] * state[...]
+    else:
+        e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)
+        carry = pb[nb - 1] + pa[nb - 1] * state[...]
 
     # y = y_local + sum_n (C * a_run) * e_b   (+ D skip)
     # (middle-axis stack does not lower on Mosaic; write rows via scratch)
@@ -86,11 +120,16 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         y_scr[:, s] = y_loc[s] + jnp.sum(corr_c[s] * e_b, axis=1)
     y = y_scr[...].reshape(T, Dt) + u * Dskip_ref[0].astype(jnp.float32)
     y_ref[0] = y.astype(y_ref.dtype)
-    state[...] = pb[nb - 1] + pa[nb - 1] * state[...]
+    state[...] = carry
+    if want_state:
+        # last grid step's write (the final chunk in scan order) is the
+        # sequence's final state
+        state_out_ref[0] = carry
 
 
 def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
-                  S: int = 16):
+                  S: int = 16, reverse: bool = False, softplus: bool = True,
+                  want_state: bool = False):
     G, L, Dm = u.shape
     K = A.shape[0]
     N = A.shape[2]
@@ -105,44 +144,62 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
         C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
     Lp = L + pad
 
-    grid = (G * nD, Lp // T)
+    nT = Lp // T
+    grid = (G * nD, nT)
     seq = lambda i: i // nD
     dtile = lambda i: i % nD
+    # reverse scans walk the L-chunks last-to-first (the in-chunk suffix
+    # scan handles within-chunk order); same maps feed fwd and rev kernels.
+    lmap = (lambda l: nT - 1 - l) if reverse else (lambda l: l)
 
-    kernel = functools.partial(_scan_kernel_v2, T=T, S=S)
-    y, xsave = pl.pallas_call(
+    kernel = functools.partial(_scan_kernel_v2, T=T, S=S, reverse=reverse,
+                               softplus=softplus, want_state=want_state,
+                               L_total=L, nT_total=nT)
+    out_specs = [
+        pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N, Dt),
+                     lambda i, l: (seq(i), lmap(l), 0, dtile(i)),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
+        jax.ShapeDtypeStruct((G, Lp // T, N, Dm), jnp.float32),
+    ]
+    if want_state:
+        out_specs.append(pl.BlockSpec(
+            (1, N, Dt), lambda i, l: (seq(i), 0, dtile(i)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((G, N, Dm), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), l, dtile(i)),
+            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), l, dtile(i)),
+            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), l, 0),
+            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), l, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
+            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), l, dtile(i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, Dt), lambda i, l: (seq(i), l, 0, dtile(i)),
+            pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
-            jax.ShapeDtypeStruct((G, Lp // T, N, Dm), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32),
                         pltpu.VMEM((T // S, S, Dt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
+    if want_state:
+        y, xsave, last = outs
+        return y[:, :L], xsave, last
+    y, xsave = outs
     return y[:, :L], xsave

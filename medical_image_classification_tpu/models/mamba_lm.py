@@ -111,7 +111,7 @@ class Mamba(nn.Module):
         out = selective_scan(xs, dt, A, Bm, Cm, D=self.Ds, z=z,
                              delta_bias=self.dt_proj_b[0],
                              delta_softplus=True,
-                             return_last_state=return_state, impl="xla")
+                             return_last_state=return_state, impl="auto")
         if return_state:
             y, last = out
         else:

@@ -25,9 +25,38 @@ from medical_image_classification_tpu.ops.cross_scan import (
 )
 
 
+def _scan_seq_parallel(u, delta, A, Bg, Cg, Df, bf, seq_axis: str):
+    """shard_map the folded Mamba-1 scan over an L-sharding mesh axis."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from medical_image_classification_tpu.parallel.mesh import current_mesh
+    from medical_image_classification_tpu.parallel.sequence_parallel import (
+        selective_scan_sequence_parallel)
+
+    mesh = current_mesh()
+    assert mesh is not None and seq_axis in mesh.axis_names, (
+        f"seq_axis='{seq_axis}' needs a registered mesh with that axis "
+        "(parallel.mesh.make_mesh(sp=...))")
+    lspec = P(None, seq_axis, None)
+
+    def local(u_, d_, B_, C_, A_, Df_, bf_):
+        # params ride in as replicated ARGS (closing over GSPMD-sharded
+        # arrays inside shard_map trips an Auto/Manual mesh clash)
+        return selective_scan_sequence_parallel(
+            u_, d_, A_, B_, C_, axis_name=seq_axis, D=Df_, delta_bias=bf_,
+            delta_softplus=True)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(lspec, lspec, P(None, seq_axis, None, None),
+                             P(None, seq_axis, None, None), P(), P(), P()),
+                   out_specs=lspec, check_rep=False)
+    return fn(u, delta, Bg, Cg, A, Df, bf)
+
+
 def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
                      d_state: int, dt_rank: int, impl: str = "auto",
-                     merge: bool = True):
+                     merge: bool = True, seq_axis=None):
     """Mamba-1 4-direction 2-D scan.
 
     x         : [B, H, W, D]  (post depthwise-conv + SiLU, channel-last)
@@ -48,7 +77,6 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     Bb, H, W, D = x.shape
     L = H * W
     K = 4
-    xs = cross_scan(x)                                   # [B, 4, L, D]
 
     from medical_image_classification_tpu.kernels.selective_scan_pallas import (
         pallas_folded_supported, selective_scan_pallas_folded)
@@ -63,7 +91,7 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         # only large HBM tensors are xs and y.
         f32 = jnp.float32
         y4 = ss2d_scan_fused(
-            xs.reshape(Bb * K, L, D),
+            cross_scan(x).reshape(Bb * K, L, D),
             x_proj_w[:, :dt_rank].astype(f32),
             x_proj_w[:, dt_rank:dt_rank + d_state].astype(f32),
             x_proj_w[:, dt_rank + d_state:].astype(f32),
@@ -75,36 +103,79 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
             return cross_merge(ys, H, W)
         return cross_merge_stack(ys, H, W)
 
+    if (seq_axis is None and impl in ("auto", "pallas")
+            and pallas_folded_supported(L, D, d_state)):
+        # FLIP-FREE path: the reference materialises flipped copies for
+        # directions 2/3 (`MedMamba.py:394-395`) and flips the outputs back
+        # (`:420-423`).  Here directions 2/3 run the kernel in REVERSE over
+        # the same unflipped bytes as directions 0/1 — u/delta for dirs
+        # {0,2} and {1,3} share one HBM buffer, and no flip is ever
+        # materialised (kernel index maps + in-chunk suffix scans instead).
+        N = d_state
+        x_row = x.reshape(Bb, L, D)
+        x_col = jnp.swapaxes(x, 1, 2).reshape(Bb, L, D)
+        x2 = jnp.stack([x_row, x_col], axis=1)           # [B, 2, L, D]
+        # reference direction order k = rev*2 + layout  (0=row, 1=col,
+        # 2=row-reversed, 3=col-reversed)
+        Wp = x_proj_w.reshape(2, 2, -1, D)
+        x_dbl = jnp.einsum("bjld,rjcd->brjlc", x2, Wp)   # [B, 2, 2, L, C]
+        dts4 = x_dbl[..., :dt_rank]
+        Bm4 = x_dbl[..., dt_rank:dt_rank + N]
+        Cm4 = x_dbl[..., dt_rank + N:]
+        dtw = dt_proj_w.reshape(2, 2, D, dt_rank)
+        dts4 = jnp.einsum("brjlq,rjdq->brjld", dts4, dtw)
+
+        A2 = -jnp.exp(A_log.astype(jnp.float32)).reshape(2, 2, D, N)
+        D2 = Ds.astype(jnp.float32).reshape(2, 2, D)
+        b2 = dt_proj_b.astype(jnp.float32).reshape(2, 2, D)
+        dt_c = x.dtype                                   # bf16 halves HBM IO
+        u_f = x2.reshape(Bb * 2, L, D).astype(dt_c)      # shared fwd+rev
+
+        def scan_pair(r, reverse):
+            return selective_scan_pallas_folded(
+                u_f,
+                dts4[:, r].reshape(Bb * 2, L, D).astype(dt_c), A2[r],
+                Bm4[:, r].reshape(Bb * 2, L, N).astype(dt_c),
+                Cm4[:, r].reshape(Bb * 2, L, N).astype(dt_c),
+                D2[r], b2[r], reverse=reverse).reshape(Bb, 2, L, D)
+
+        y_f = scan_pair(0, False)                        # dirs 0 (row), 1 (col)
+        y_r = scan_pair(1, True)                         # dirs 2, 3 (unflipped)
+
+        def un_col(yc):                                  # [B, L, D] col->row
+            return jnp.swapaxes(yc.reshape(Bb, W, H, D), 1, 2).reshape(Bb, L, D)
+
+        if merge:
+            y = y_f[:, 0] + y_r[:, 0] + un_col(y_f[:, 1] + y_r[:, 1])
+            return y.reshape(Bb, H, W, D)
+        return jnp.stack([y_f[:, 0], un_col(y_f[:, 1]),
+                          y_r[:, 0], un_col(y_r[:, 1])], axis=1)
+
+    xs = cross_scan(x)                                   # [B, 4, L, D]
     x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
     dts = x_dbl[..., :dt_rank]
     Bmat = x_dbl[..., dt_rank:dt_rank + d_state]
     Cmat = x_dbl[..., dt_rank + d_state:]
     dts = jnp.einsum("bklr,kdr->bkld", dts, dt_proj_w)
 
-    if impl in ("auto", "pallas") and pallas_folded_supported(L, D, d_state):
-        # directions fold into the sequence axis — [B, K, L, D] is already
-        # the kernel's native layout, zero extra data movement.
-        A_neg = -jnp.exp(A_log.astype(jnp.float32))      # [K, D, n]
-        dt_c = x.dtype                                   # bf16 inputs halve
-        y4 = selective_scan_pallas_folded(               # the kernel's HBM IO
-            xs.reshape(Bb * K, L, D).astype(dt_c),
-            dts.reshape(Bb * K, L, D).astype(dt_c), A_neg,
-            Bmat.reshape(Bb * K, L, d_state).astype(dt_c),
-            Cmat.reshape(Bb * K, L, d_state).astype(dt_c),
-            Ds.astype(jnp.float32), dt_proj_b.astype(jnp.float32))
-        ys = y4.reshape(Bb, K, L, D)
+    # fold K into channels (direction-major channel order)
+    u = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * D)
+    delta = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * D)
+    Bg = jnp.swapaxes(Bmat, 1, 2)                        # [B, L, 4, n] groups
+    Cg = jnp.swapaxes(Cmat, 1, 2)
+    A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * D, d_state)
+    Df = Ds.astype(jnp.float32).reshape(K * D)
+    bf = dt_proj_b.astype(jnp.float32).reshape(K * D)
+    if seq_axis is not None:
+        # sequence parallelism: L-shard the scan over the 'seq' mesh axis
+        # (the TPU shape of the reference's sequence_parallel=True plumbing,
+        # `CNN_Mamba.py:354,365`): each device scans its shard, shard
+        # summaries are combined with one small all_gather.
+        y = _scan_seq_parallel(u, delta, A, Bg, Cg, Df, bf, seq_axis)
     else:
-        # fold K into channels (direction-major channel order)
-        u = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * D)
-        delta = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * D)
-        Bg = jnp.swapaxes(Bmat, 1, 2)                    # [B, L, 4, n] groups
-        Cg = jnp.swapaxes(Cmat, 1, 2)
-        A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * D, d_state)
-        y = selective_scan(u, delta, A, Bg, Cg,
-                           D=Ds.astype(jnp.float32).reshape(K * D),
-                           delta_bias=dt_proj_b.astype(jnp.float32).reshape(K * D),
+        y = selective_scan(u, delta, A, Bg, Cg, D=Df, delta_bias=bf,
                            delta_softplus=True, impl=impl)  # [B, L, 4*D] fp32
-        ys = jnp.swapaxes(y.reshape(Bb, L, K, D), 1, 2)  # [B, 4, L, D]
+    ys = jnp.swapaxes(y.reshape(Bb, L, K, D), 1, 2)      # [B, 4, L, D]
     if merge:
         return cross_merge(ys, H, W)
     return cross_merge_stack(ys, H, W)

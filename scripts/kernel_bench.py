@@ -64,6 +64,8 @@ def main():
                    help="comma list: pallas (current dispatch)")
     p.add_argument("--t-cap", type=int, default=None)
     p.add_argument("--vmem-budget-mb", type=int, default=None)
+    p.add_argument("--calibrate", action="store_true",
+                   help="run the no-scan elementwise floor kernel instead")
     args = p.parse_args()
 
     if args.t_cap or args.vmem_budget_mb:
@@ -78,6 +80,9 @@ def main():
     stages = STAGES.keys() if args.stage == "all" else [args.stage]
     for st in stages:
         cfg = STAGES[st]
+        if args.calibrate:
+            calib_kernel_bench(cfg, args.iters)
+            continue
         ins = make_inputs(**cfg)
         u, delta, A, B, C, D, bias = ins
 
@@ -97,11 +102,76 @@ def main():
             return l + sum(jnp.sum(g.astype(jnp.float32)) for g in grads)
 
         tf = bench_impl("fwd", jax.jit(fwd_only), ins, args.iters)
+        print(f"stage{st} G={cfg['G']} L={cfg['L']} Dm={cfg['Dm']}: "
+              f"fwd {tf*1e3:.2f} ms", flush=True)
         tb = bench_impl("fwd+bwd", jax.jit(fwd_bwd), ins, args.iters)
         print(f"stage{st} G={cfg['G']} L={cfg['L']} Dm={cfg['Dm']}: "
-              f"fwd {tf*1e3:.2f} ms   fwd+bwd {tb*1e3:.2f} ms   "
-              f"bwd~{(tb-tf)*1e3:.2f} ms")
+              f"fwd+bwd {tb*1e3:.2f} ms   bwd~{(tb-tf)*1e3:.2f} ms",
+              flush=True)
 
+
+def calib_kernel_bench(stage_cfg, iters):
+    """Floor calibration: same grid/blocks as the fwd scan kernel, but the
+    body does only the irreducible per-element work (exp + 4 muls + N-sum),
+    no scan.  The gap fwd_scan - this = cost of the scan machinery."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from medical_image_classification_tpu.kernels import (
+        selective_scan_pallas as sp)
+
+    G, L, Dm, N = (stage_cfg[k] for k in ("G", "L", "Dm", "N"))
+    K = 4
+    T, Dt = sp._choose_tiles(L, Dm, N)
+    u, delta, A, B, C, D, bias = make_inputs(G, L, Dm, N)
+    At = jnp.swapaxes(A, 1, 2)
+    pad = (-L) % T
+    Lp = L + pad
+
+    def kern(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref):
+        uf = u_ref[0].astype(jnp.float32)
+        dt = jax.nn.softplus(dt_ref[0].astype(jnp.float32))
+        Av = A_ref[0].astype(jnp.float32)
+        Bv = B_ref[0].astype(jnp.float32)
+        Cv = C_ref[0].astype(jnp.float32)
+        a = jnp.exp(dt[:, None, :] * Av[None])
+        b = (dt * uf)[:, None, :] * Bv[:, :, None]
+        y = jnp.sum(Cv[:, :, None] * (a * b), axis=1)
+        y_ref[0] = y.astype(y_ref.dtype)
+
+    nD = Dm // Dt
+
+    def run(u, delta, B, C):
+        if pad:
+            z = ((0, 0), (0, pad), (0, 0))
+            u, delta, B, C = (jnp.pad(t, z) for t in (u, delta, B, C))
+        return pl.pallas_call(
+            kern,
+            grid=(G * nD, Lp // T),
+            in_specs=[
+                pl.BlockSpec((1, T, Dt), lambda i, l: (i // nD, l, i % nD),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, Dt), lambda i, l: (i // nD, l, i % nD),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, Dt), lambda i, l: ((i // nD) % K, 0, i % nD),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, N), lambda i, l: (i // nD, l, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, N), lambda i, l: (i // nD, l, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, Dt),
+                                   lambda i, l: (i // nD, l, i % nD),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
+        )(u, delta, At, B, C)
+
+    def fn(u_, delta_, B_, C_):
+        return jnp.sum(run(u_, delta_, B_, C_).astype(jnp.float32))
+
+    t = bench_impl("calib", jax.jit(fn), (u, delta, B, C), iters)
+    print(f"calib T={T} Dt={Dt}: {t*1e3:.2f} ms")
 
 if __name__ == "__main__":
     main()
