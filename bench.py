@@ -84,6 +84,10 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--extra-models", default="medssd:16",
+                   help="comma list of model[:batch] also measured and "
+                        "reported under extra (VERDICT r1: track medssd "
+                        "per round); '' disables")
     args = p.parse_args()
 
     n_dev = jax.local_device_count()
@@ -105,6 +109,17 @@ def main():
             "backend": jax.default_backend(),
         },
     }
+    for spec in filter(None, args.extra_models.split(",")):
+        name, _, b = spec.partition(":")
+        b = int(b) if b else args.batch
+        try:
+            r = bench(name, b, args.size, max(args.iters // 2, 5), "both",
+                      args.dtype)
+            out["extra"][f"{name}_train_ips"] = round(r.get("train_ips", 0), 2)
+            out["extra"][f"{name}_infer_ips"] = round(r.get("infer_ips", 0), 2)
+            out["extra"][f"{name}_batch"] = b
+        except Exception as e:  # pragma: no cover — extras must not kill
+            out["extra"][f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

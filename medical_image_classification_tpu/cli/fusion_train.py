@@ -33,8 +33,9 @@ def main(args):
     log = get_logger()
     pairs = scan_fusion_pairs(args.data_path, args.dir_a, args.dir_b,
                               length=args.max_pairs)
-    loader = FusionLoader(pairs, args.batch_size, args.image_size, channels=3,
-                          seed=args.seed)
+    channels = 1 if args.model == "fusionmamba" else 3
+    loader = FusionLoader(pairs, args.batch_size, args.image_size,
+                          channels=channels, seed=args.seed)
     spe = loader.steps_per_epoch()
     log.info("%d pairs, %d steps/epoch", len(pairs), spe)
 
@@ -45,17 +46,25 @@ def main(args):
     if args.dims:
         kw["dims"] = tuple(int(v) for v in args.dims.split(","))
         kw["dims_decoder"] = kw["dims"][::-1]
-    if args.headdim:
-        kw["ssd_headdim"] = args.headdim
-    model = FusionVFEFM(single_decoder=args.single_decoder,
-                        d_state=args.d_state,
-                        cat_method=args.cat_method, **kw)
+    if args.model == "fusionmamba":
+        # the `train_t.py` path: vendored VSSM_Fusion on 1-channel pairs
+        # (`/root/reference/CrossMamba/train_t.py`)
+        from medical_image_classification_tpu.models.fusionmamba import (
+            VSSMFusion)
+        model = VSSMFusion(d_state=args.d_state or 16, **kw)
+    else:
+        if args.headdim:
+            kw["ssd_headdim"] = args.headdim
+        model = FusionVFEFM(single_decoder=args.single_decoder,
+                            d_state=args.d_state or 128,
+                            cat_method=args.cat_method, **kw)
     sched = make_schedule("fusion_exp", args.lr, spe, args.epochs,
                           decay=args.lr_decay)
     tx = make_optimizer("adam", sched)
 
     rng = jax.random.PRNGKey(args.seed)
-    x0 = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
+    x0 = jnp.zeros((args.batch_size, args.image_size, args.image_size,
+                    channels))
     variables = model.init({"params": rng, "dropout": rng}, x0, x0,
                            train=False)
     params = variables["params"]
@@ -111,8 +120,13 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lr-decay", type=float, default=0.75)
-    p.add_argument("--d-state", type=int, default=128)
+    p.add_argument("--d-state", type=int, default=None,
+                   help="default: 128 for vfefm, 16 for fusionmamba")
     p.add_argument("--cat-method", default="stack")
+    p.add_argument("--model", default="vfefm",
+                   choices=["vfefm", "fusionmamba"],
+                   help="vfefm = CrossMamba/train.py; fusionmamba = the "
+                        "train_t.py vendored VSSM_Fusion path")
     p.add_argument("--single-decoder", action="store_true")
     p.add_argument("--depths", default=None, help="comma ints, e.g. 2,2,4,2")
     p.add_argument("--dims", default=None, help="comma ints, e.g. 128,256,512,1024")

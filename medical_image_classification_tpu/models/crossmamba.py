@@ -134,7 +134,8 @@ class DownLayer(nn.Module):
     depth: int
     cat_method: str = "stack"
     d_state: int = 128
-    ssd_headdim: int = 64
+    fusion_d_state: int = 128     # the reference's CrossMamba default, used
+    ssd_headdim: int = 64         # regardless of the model-level d_state
     drop_paths: Sequence[float] = ()
     downsample: bool = True
 
@@ -151,7 +152,7 @@ class DownLayer(nn.Module):
         proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
                 if self.cat_method == "stack" else None)
         c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
-        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.d_state,
+        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.fusion_d_state,
                             headdim=self.ssd_headdim,
                             name="fusion")(x1, x2, c1, c2, train=train)
         f1, f2 = x1 + f1, x2 + f2
@@ -169,6 +170,7 @@ class UpLayer(nn.Module):
     depth: int
     cat_method: str = "stack"
     d_state: int = 128
+    fusion_d_state: int = 128
     ssd_headdim: int = 64
     drop_paths: Sequence[float] = ()
     upsample: bool = True
@@ -195,7 +197,7 @@ class UpLayer(nn.Module):
         proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
                 if self.cat_method == "stack" else None)
         c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
-        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.d_state,
+        f1, f2 = CrossMamba(d_model=self.dim, d_state=self.fusion_d_state,
                             headdim=self.ssd_headdim,
                             name="fusion")(x1, x2, c1, c2, train=train)
         return x1 + f1, x2 + f2
@@ -214,6 +216,7 @@ class FusionVFEFM(nn.Module):
     depths_decoder: Sequence[int] = (2, 9, 2, 2)
     dims_decoder: Sequence[int] = (1024, 512, 256, 128)
     d_state: int = 128
+    fusion_d_state: int = 128
     ssd_headdim: int = 64
     cat_method: str = "stack"
     drop_path_rate: float = 0.1
@@ -232,7 +235,8 @@ class FusionVFEFM(nn.Module):
             d = self.depths[i]
             x1, x2, skip = DownLayer(
                 dim=self.dims[i], depth=d, cat_method=self.cat_method,
-                d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                d_state=self.d_state, fusion_d_state=self.fusion_d_state,
+                ssd_headdim=self.ssd_headdim,
                 drop_paths=tuple(dpr[p:p + d]), downsample=(i < nl - 1),
                 name=f"layers_{i}")(x1, x2, train)
             skips.append(skip)
@@ -271,7 +275,8 @@ class FusionVFEFM(nn.Module):
                 s1, s2 = skips[idx]
             x1, x2 = UpLayer(
                 dim=block_dim, depth=d, cat_method=self.cat_method,
-                d_state=self.d_state, ssd_headdim=self.ssd_headdim,
+                d_state=self.d_state, fusion_d_state=self.fusion_d_state,
+                ssd_headdim=self.ssd_headdim,
                 drop_paths=tuple(dpr_d[p:p + d]), upsample=ups,
                 skip=use_skip, name=f"layers_up_{j}")(x1, x2, s1, s2, train)
             p += d
@@ -289,8 +294,11 @@ class CrossVSSMClassifier(nn.Module):
     """Dual-branch CrossMamba classifier.
 
     fuse_mode='stage3': two parallel encoders, CrossMamba fusion after the
-    3rd stage, shared downsample, stage 4, additive merge → pool → head
+    3rd stage, per-branch downsample + stage 4, additive merge → pool → head
     (`CrossMamba_3e1f1eadd.py:937-987`).
+    fuse_mode='stage3_merged': diagram-2 wiring — the fused branches are
+    ADDED first, then ONE shared downsample and ONE shared stage-4 layer
+    (`CrossMamba_3e1fadd1e.py:957-972`).
     fuse_mode='all': CrossMamba fusion with residual at EVERY stage
     (`CrossMamba_4ef.py:756-867`).
     """
@@ -299,7 +307,8 @@ class CrossVSSMClassifier(nn.Module):
     depths: Sequence[int] = (2, 2, 4, 2)
     dims: Sequence[int] = (128, 256, 512, 1024)
     d_state: int = 16
-    ssd_headdim: int = 64
+    fusion_d_state: int = 128     # the reference hardcodes CrossMamba's
+    ssd_headdim: int = 64         # default in its fusion modules
     cat_method: str = "stack"
     fuse_mode: str = "stage3"
     drop_path_rate: float = 0.1
@@ -328,7 +337,8 @@ class CrossVSSMClassifier(nn.Module):
                                  name=f"cat_proj_{i}")
                         if self.cat_method == "stack" else None)
                 c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
-                f1, f2 = CrossMamba(d_model=self.dims[i], d_state=128,
+                f1, f2 = CrossMamba(d_model=self.dims[i],
+                                    d_state=self.fusion_d_state,
                                     headdim=self.ssd_headdim,
                                     name=f"fusion_{i}")(x1, x2, c1, c2,
                                                         train=train)
@@ -336,7 +346,13 @@ class CrossVSSMClassifier(nn.Module):
                 if i < nl - 1:
                     x1 = PatchMerging(name=f"down1_{i}")(x1)
                     x2 = PatchMerging(name=f"down2_{i}")(x2)
-        else:  # stage3
+            # `CrossMamba_4ef.py` merges branches with a Linear on the
+            # concat (before_head_proj), not a sum
+            x = nn.Dense(self.dims[-1], kernel_init=trunc_normal_02,
+                         name="before_head_proj")(
+                jnp.concatenate([x1, x2], axis=-1))
+            x1, x2 = x, jnp.zeros_like(x)
+        else:  # stage3 / stage3_merged
             for i in range(nl - 1):
                 x1 = stage_blocks(x1, i, 1)
                 x2 = stage_blocks(x2, i, 2)
@@ -347,13 +363,21 @@ class CrossVSSMClassifier(nn.Module):
                              name="cat_proj")
                     if self.cat_method == "stack" else None)
             c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
-            x1, x2 = CrossMamba(d_model=self.dims[-2], d_state=128,
+            x1, x2 = CrossMamba(d_model=self.dims[-2],
+                                d_state=self.fusion_d_state,
                                 headdim=self.ssd_headdim,
                                 name="fusion")(x1, x2, c1, c2, train=train)
-            x1 = PatchMerging(name="downsample1")(x1)
-            x2 = PatchMerging(name="downsample2")(x2)
-            x1 = stage_blocks(x1, nl - 1, 1)
-            x2 = stage_blocks(x2, nl - 1, 2)
+            if self.fuse_mode == "stage3_merged":
+                # diagram-2 (`CrossMamba_3e1fadd1e.py:965-970`): add fused
+                # branches, ONE shared downsample + ONE shared stage 4
+                x = PatchMerging(name="downsample")(x1 + x2)
+                x = stage_blocks(x, nl - 1, 0)
+                x1, x2 = x, jnp.zeros_like(x)
+            else:
+                x1 = PatchMerging(name="downsample1")(x1)
+                x2 = PatchMerging(name="downsample2")(x2)
+                x1 = stage_blocks(x1, nl - 1, 1)
+                x2 = stage_blocks(x2, nl - 1, 2)
 
         x = x1 + x2
         x = jnp.mean(x, axis=(1, 2))

@@ -199,6 +199,7 @@ def cross_cls_stage3(num_classes=8, **kw):
     (`CrossMamba_3e1f1eadd.py`)."""
     from medical_image_classification_tpu.models.crossmamba import (
         CrossVSSMClassifier)
+    kw.setdefault("d_state", 128)        # reference classifier default
     return CrossVSSMClassifier(num_classes=num_classes, fuse_mode="stage3", **kw)
 
 
@@ -207,7 +208,19 @@ def cross_cls_4ef(num_classes=8, **kw):
     """Dual-branch classifier, fusion at every stage (`CrossMamba_4ef.py`)."""
     from medical_image_classification_tpu.models.crossmamba import (
         CrossVSSMClassifier)
+    kw.setdefault("d_state", 128)        # reference classifier default
     return CrossVSSMClassifier(num_classes=num_classes, fuse_mode="all", **kw)
+
+
+@register_fusion("cross_cls_3e1fadd1e")
+def cross_cls_3e1fadd1e(num_classes=8, **kw):
+    """Diagram-2 wiring: fused branches added, ONE shared downsample +
+    shared stage 4 (`CrossMamba_3e1fadd1e.py:821-987`)."""
+    from medical_image_classification_tpu.models.crossmamba import (
+        CrossVSSMClassifier)
+    kw.setdefault("d_state", 128)        # reference classifier default
+    return CrossVSSMClassifier(num_classes=num_classes,
+                               fuse_mode="stage3_merged", **kw)
 
 
 @register_fusion("fusionmamba")

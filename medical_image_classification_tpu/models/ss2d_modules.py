@@ -89,6 +89,7 @@ class SS2D(nn.Module):
     conv_bias: bool = True
     bias: bool = False
     scan_impl: str = "auto"
+    seq_axis: object = None          # mesh axis name for L-sharded scans (SP)
     dtype: object = None
 
     @nn.compact
@@ -116,7 +117,8 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
         y = ss2d_core_mamba1(xpart, x_proj_w, dt_w, dt_b, A_log, Ds,
-                             d_state=N, dt_rank=R, impl=self.scan_impl)
+                             d_state=N, dt_rank=R, impl=self.scan_impl,
+                             seq_axis=self.seq_axis)
         y = nn.LayerNorm(name="out_norm")(y.astype(x.dtype))
         y = y * jax.nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
@@ -149,31 +151,52 @@ class STL(nn.Module):
         return jnp.einsum("blp,blc->bpc", A, V)            # [B, p^2, C]
 
 
+def _adaptive_bins(n_in: int, n_out: int):
+    """torch AdaptiveAvgPool bin matrix [n_in, n_out] (static):
+    out[i] = mean(x[floor(i*n/out) : ceil((i+1)*n/out)])."""
+    import numpy as _np
+    M = _np.zeros((n_in, n_out), _np.float32)
+    for i in range(n_out):
+        a = (i * n_in) // n_out
+        b = -(-((i + 1) * n_in) // n_out)
+        M[a:b, i] = 1.0 / (b - a)
+    return jnp.asarray(M)
+
+
 class STF(nn.Module):
     """Semantic token fuser (`st_mamba/ST_SSD.py:322-375`): injects the
-    original features back into the token stream via a learned gate."""
+    original features back into the token stream via a learned gate.
+
+    NB the reference forward receives z as (b, C=d_model, L) but its first
+    line permutes as if it were (b, L, C) (`ST_SSD.py:349-351`), so its
+    ``AdaptiveAvgPool2d((d_ssm, p^2))`` actually maps the LENGTH axis to
+    d_ssm "channels" and the CHANNEL axis to p^2 "tokens" — a transposition
+    quirk baked into trained checkpoints.  Reproduced exactly here via
+    static torch-semantics bin matrices (weights are learned around it, so
+    fixing it would break parity)."""
     p: int
-    channels: int
+    channels: int          # d_ssm (the reference's in_channel * 2)
 
     @nn.compact
     def __call__(self, z_feat, U):
-        # z_feat: [B, L, C] (original features); U: [B, p^2, C]
+        # z_feat: [B, L, Cin] (original d_model features); U: [B, p^2, C]
         P = self.p ** 2
-        B, L, C = z_feat.shape
-        if L == P:
-            pooled = z_feat
-        else:  # adaptive average pool over L -> P (exact when divisible)
-            if L % P == 0:
-                pooled = z_feat.reshape(B, P, L // P, C).mean(axis=2)
-            else:
-                pooled = jax.image.resize(z_feat, (B, P, C), method="linear")
-        pooled = jax.nn.silu(pooled)                       # [B, P, C]
-        z_max = jnp.max(pooled, axis=-1, keepdims=True)
-        z_avg = jnp.mean(pooled, axis=-1, keepdims=True)
-        m = nn.Dense(1, name="mix")(jnp.concatenate([z_max, z_avg], axis=-1))
-        weighted = jax.nn.sigmoid(m) * pooled              # [B, P, C]
+        B, L, Cin = z_feat.shape
+        # (b, L, Cin) --adaptive bins--> (b, channels, P), matching the
+        # reference's transposed pooling
+        Mr = _adaptive_bins(L, self.channels)              # L    -> d_ssm
+        Mc = _adaptive_bins(Cin, P)                        # Cin  -> p^2
+        pooled = jnp.einsum("blc,lo,cp->bop", z_feat, Mr, Mc)
+        pooled = jax.nn.silu(pooled)                       # [B, C=d_ssm, P]
+        z_max = jnp.max(pooled, axis=1, keepdims=True)     # over "channels"
+        z_avg = jnp.mean(pooled, axis=1, keepdims=True)    # [B, 1, P]
+        mix_in = jnp.concatenate([z_max, z_avg], axis=1)   # [B, 2, P]
+        m = nn.Dense(1, name="mix")(jnp.swapaxes(mix_in, 1, 2))  # [B, P, 1]
+        m = jax.nn.sigmoid(m)
+        weighted = jnp.swapaxes(m, 1, 2) * pooled          # [B, C, P]
+        weighted = jnp.swapaxes(weighted, 1, 2)            # [B, P, C]
         lz = self.param("z", nn.initializers.uniform(1.0), (self.channels, P))
-        Z = jax.nn.sigmoid(pooled @ lz)                    # [B, P, P]
+        Z = jax.nn.sigmoid(jnp.swapaxes(pooled, 1, 2) @ lz)  # [B, P, P]
         return weighted + jnp.einsum("bpq,bqc->bpc", Z, U)
 
 
@@ -254,11 +277,9 @@ class SS2DSSD(nn.Module):
             stf = STF(p=p, channels=d_ssm, name="stf")
             u_bn = nn.BatchNorm(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5, name="o_norm")(u)
-            # the reference keeps d_model channels here and adaptive-pools
-            # them up to d_ssm inside STF (`ST_SSD.py:505-506,334`); we let
-            # the 1x1 conv project straight to d_ssm instead — same role,
-            # no channel interpolation.
-            z_feat = nn.Conv(d_ssm, (1, 1), kernel_init=kaiming_conv,
+            # d_model channels here, upsampled to d_ssm inside STF by the
+            # reference's adaptive pool (= channel duplication; see STF)
+            z_feat = nn.Conv(self.d_model, (1, 1), kernel_init=kaiming_conv,
                              name="o_linear")(u_bn).reshape(Bb, L, -1)
             outs = [stf(z_feat, stl(y[:, k].astype(u.dtype))) for k in range(4)]
             kw = self.param("k_weights",

@@ -55,6 +55,7 @@ class SSConvBlock(nn.Module):
     kan_spline_order: int = 1
     attn_drop: float = 0.0
     scan_impl: str = "auto"
+    seq_axis: object = None
     dtype: object = None
 
     @nn.compact
@@ -64,7 +65,8 @@ class SSConvBlock(nn.Module):
         r = nn.LayerNorm(epsilon=1e-6, name="ln_1")(right)
         if self.core == "mamba1":
             r = SS2D(d_model=half, d_state=self.d_state, dropout=self.attn_drop,
-                     scan_impl=self.scan_impl, dtype=self.dtype,
+                     scan_impl=self.scan_impl, seq_axis=self.seq_axis,
+                     dtype=self.dtype,
                      name="self_attention")(r, train=train)
         elif self.core == "ssd":
             r = SS2DSSD(d_model=half, d_state=self.d_state,
@@ -101,6 +103,7 @@ class VSSLayer(nn.Module):
     downsample: bool = True
     use_checkpoint: bool = False
     scan_impl: str = "auto"
+    seq_axis: object = None
     dtype: object = None
 
     @nn.compact
@@ -116,7 +119,8 @@ class VSSLayer(nn.Module):
                       st_tokens=self.st_tokens, kan_in=self.kan_in,
                       kan_filter=self.kan_filter,
                       kan_spline_order=self.kan_spline_order,
-                      scan_impl=self.scan_impl, dtype=self.dtype,
+                      scan_impl=self.scan_impl, seq_axis=self.seq_axis,
+                      dtype=self.dtype,
                       name=f"blocks_{i}")(x, train)
         self.sow("intermediates", "stage_out", x)
         # zero-valued perturbation hook: grad w.r.t. it == grad w.r.t. the
@@ -152,6 +156,7 @@ class VSSM(nn.Module):
     kan_spline_order: int = 1
     head: str = "linear"
     scan_impl: str = "auto"
+    seq_axis: object = None       # mesh axis for L-sharded SS2D scans (SP)
     dtype: object = None          # compute dtype (bf16 on TPU); params fp32
 
     @nn.compact
@@ -181,7 +186,8 @@ class VSSM(nn.Module):
                 kan_in=self.kan_in, kan_filter=self.kan_filter,
                 kan_spline_order=self.kan_spline_order,
                 downsample=(i < nl - 1), use_checkpoint=self.use_checkpoint,
-                scan_impl=self.scan_impl, dtype=self.dtype,
+                scan_impl=self.scan_impl, seq_axis=self.seq_axis,
+                dtype=self.dtype,
                 name=f"layers_{i}")(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # global avg pool
         return ClassifierHead(self.num_classes, kind=self.head,

@@ -70,7 +70,7 @@ def test_fusion_unet_single_decoder():
     assert out.shape == (1, 32, 32, 1)
 
 
-@pytest.mark.parametrize("mode", ["stage3", "all"])
+@pytest.mark.parametrize("mode", ["stage3", "stage3_merged", "all"])
 def test_cross_classifier(mode):
     m = CrossVSSMClassifier(num_classes=5, depths=(1, 1, 1, 1),
                             dims=(8, 16, 32, 64), d_state=4, ssd_headdim=4,

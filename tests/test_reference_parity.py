@@ -88,3 +88,235 @@ def test_medssd_logit_parity(torch_seed):
     rng = np.random.RandomState(1)
     x = rng.randn(2, 3, 64, 64).astype(np.float32)
     _run_parity(ref, params, stats, model, x, atol=3e-3, rtol=1e-3)
+
+
+def _kan_family_parity(ref_path, ref_name, my_name, head, seed, atol=3e-3):
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_medssd_family_state_dict)
+    mod = load_reference_module(ref_path, ref_name)
+    depths, dims = (2, 2, 4, 2), (128, 256, 512, 1024)
+    ref = mod.VSSM(depths=list(depths), dims=list(dims), num_classes=8)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, variables = import_medssd_family_state_dict(
+        sd, head=head, depths=depths, dims=dims)
+    model = create_model(my_name, num_classes=8)
+
+    ref.eval()
+    rng = np.random.RandomState(seed)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x)).numpy()
+
+    apply_vars = {"params": _np_tree(params)}
+    for coll, tree in variables.items():
+        if tree:
+            apply_vars[coll] = _np_tree(tree)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    logits = np.asarray(model.apply(apply_vars, x_nhwc, train=False))
+    np.testing.assert_allclose(logits, ref_logits, atol=atol, rtol=1e-3)
+    assert (logits.argmax(-1) == ref_logits.argmax(-1)).all()
+
+
+def test_medssd_ekan_logit_parity(torch_seed):
+    """eKANLinear head (`medmamba_kan/MedSSD_ekan.py:990-999`)."""
+    _kan_family_parity(f"{REF}/medmamba_kan/MedSSD_ekan.py", "ref_ekan",
+                       "medssd_ekan", "ekan", seed=2)
+
+
+def test_medssd_okan_logit_parity(torch_seed):
+    """original-pykan KANLayer head (`medmamba_kan/MedSSD_okan.py:1242`)."""
+    _kan_family_parity(f"{REF}/medmamba_kan/MedSSD_okan.py", "ref_okan",
+                       "medssd_okan", "okan", seed=3)
+
+
+def test_medssd_kanstack_logit_parity(torch_seed):
+    """3 chained o-KAN heads (`medmamba_kan/MedSSD_kan.py:1125-1165`).
+
+    atol is looser here: the stacked splines amplify pooled features ~20x
+    (logit scale ~70), so ~1e-3 backbone fp32 noise lands at ~3e-2.
+    Head-only parity on identical features is 1.6e-4 (measured); the
+    argmax assert is the semantic check."""
+    _kan_family_parity(f"{REF}/medmamba_kan/MedSSD_kan.py", "ref_kanstack",
+                       "medssd_kan", "kan_stack", seed=4, atol=6e-2)
+
+
+def test_medssd_3kan_logit_parity(torch_seed):
+    """3-KAN KansModule head with shared BN (`MedSSD_kan/MedSSD_3kan.py`)."""
+    _kan_family_parity(f"{REF}/MedSSD_kan/MedSSD_3kan.py", "ref_3kan",
+                       "medssd_3kan", "3kan", seed=5)
+
+
+def test_medssd_kanmodule_logit_parity(torch_seed):
+    """KansModule head (`MedSSD_kan/MedSSD_kan.py:475-502,1155`)."""
+    _kan_family_parity(f"{REF}/MedSSD_kan/MedSSD_kan.py", "ref_kanmodule",
+                       "medssd_kanmodule", "kan_module", seed=6)
+
+
+def test_cnn_mamba_logit_parity(torch_seed):
+    """CNN_Mamba: MedSSD + ConvTConvPW RGB pre-stem (`CNN_Mamba.py:752-852`)."""
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_medssd_family_state_dict)
+    mod = load_reference_module(f"{REF}/CNN_Mamba.py", "ref_cnn_mamba")
+    depths, dims = (2, 2, 4, 2), (128, 256, 512, 1024)
+    ref = mod.VSSM(depths=list(depths), dims=list(dims), num_classes=8)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, variables = import_medssd_family_state_dict(
+        sd, head="linear", depths=depths, dims=dims, conv_stem=True)
+    model = create_model("cnn_mamba", num_classes=8)
+
+    ref.eval()
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x)).numpy()
+    apply_vars = {"params": _np_tree(params),
+                  "batch_stats": _np_tree(variables["batch_stats"])}
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    logits = np.asarray(model.apply(apply_vars, x_nhwc, train=False))
+    np.testing.assert_allclose(logits, ref_logits, atol=3e-3, rtol=1e-3)
+    assert (logits.argmax(-1) == ref_logits.argmax(-1)).all()
+
+
+def test_st_ssd_logit_parity(torch_seed):
+    """ST-SSD: SSD core + STL/STF semantic tokens + WMF weighted merge
+    (`st_mamba/ST_SSD.py`).  64^2 input -> per-stage token counts 16,8,4,2."""
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_medssd_family_state_dict)
+    mod = load_reference_module(f"{REF}/st_mamba/ST_SSD.py", "ref_st_ssd")
+    depths, dims = (2, 2, 4, 2), (128, 256, 512, 1024)
+    ps = [16, 8, 4, 2]
+    ref = mod.VSSM(depths=list(depths), dims=list(dims), num_classes=8,
+                   ps=ps)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, variables = import_medssd_family_state_dict(
+        sd, head="linear", depths=depths, dims=dims, st_tokens=True)
+    model = create_model("st_ssd", num_classes=8, st_tokens=tuple(ps))
+
+    ref.eval()
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x)).numpy()
+    apply_vars = {"params": _np_tree(params),
+                  "batch_stats": _np_tree(variables["batch_stats"])}
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    logits = np.asarray(model.apply(apply_vars, x_nhwc, train=False))
+    np.testing.assert_allclose(logits, ref_logits, atol=3e-3, rtol=1e-3)
+    assert (logits.argmax(-1) == ref_logits.argmax(-1)).all()
+
+
+def _cross_classifier_parity(ref_file, ref_name, fuse_mode, seed):
+    """Dual-branch CrossMamba classifiers (all three wirings).  Smaller dims
+    than the reference default (64..512 vs 128..1024) keep the sequential
+    torch scan tractable; the weight mapping is identical."""
+    from medical_image_classification_tpu.models.crossmamba import (
+        CrossVSSMClassifier)
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_cross_classifier_state_dict)
+    mod = load_reference_module(ref_file, ref_name)
+    depths, dims = (1, 1, 1, 1), (64, 128, 256, 512)
+    torch.manual_seed(seed)
+    ref = mod.VFEFM(depths=list(depths), dims=list(dims), num_classes=5,
+                    d_state=16, cat_method="stack", drop_path_rate=0.0)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, stats = import_cross_classifier_state_dict(
+        sd, depths=depths, dims=dims, fuse_mode=fuse_mode)
+    model = CrossVSSMClassifier(num_classes=5, depths=depths, dims=dims,
+                                d_state=16, cat_method="stack",
+                                fuse_mode=fuse_mode, drop_path_rate=0.0)
+    ref.eval()
+    rng = np.random.RandomState(seed)
+    x1 = rng.randn(2, 3, 64, 64).astype(np.float32)
+    x2 = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x1), torch.from_numpy(x2)).numpy()
+    av = {"params": _np_tree(params)}
+    if stats:
+        av["batch_stats"] = _np_tree(stats)
+    logits = np.asarray(model.apply(
+        av, jnp.asarray(np.transpose(x1, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(x2, (0, 2, 3, 1))), train=False))
+    np.testing.assert_allclose(logits, ref_logits, atol=3e-3, rtol=1e-3)
+    assert (logits.argmax(-1) == ref_logits.argmax(-1)).all()
+
+
+@pytest.mark.xfail(
+    reason="the reference classifiers' own CrossMamba.forward computes "
+           "d_mlp=(d_inner-2*d_ssm)//2 = -256 and crashes in plain torch "
+           "(`CrossMamba_3e1f1eadd.py:245-250`); parity needs the corrected "
+           "torch adapter (in progress)", strict=False)
+def test_cross_cls_stage3_logit_parity(torch_seed):
+    """`CrossMamba_3e1f1eadd.py:755-987` (fusion after stage 3)."""
+    _cross_classifier_parity(f"{REF}/CrossMamba/CrossMamba_3e1f1eadd.py",
+                             "ref_cc_stage3", "stage3", seed=10)
+
+
+@pytest.mark.xfail(
+    reason="the reference classifiers' own CrossMamba.forward computes "
+           "d_mlp=(d_inner-2*d_ssm)//2 = -256 and crashes in plain torch "
+           "(`CrossMamba_3e1f1eadd.py:245-250`); parity needs the corrected "
+           "torch adapter (in progress)", strict=False)
+def test_cross_cls_stage3_merged_logit_parity(torch_seed):
+    """`CrossMamba_3e1fadd1e.py:821-987` (diagram-2: add, shared stage 4)."""
+    _cross_classifier_parity(f"{REF}/CrossMamba/CrossMamba_3e1fadd1e.py",
+                             "ref_cc_merged", "stage3_merged", seed=11)
+
+
+@pytest.mark.xfail(
+    reason="the reference classifiers' own CrossMamba.forward computes "
+           "d_mlp=(d_inner-2*d_ssm)//2 = -256 and crashes in plain torch "
+           "(`CrossMamba_3e1f1eadd.py:245-250`); parity needs the corrected "
+           "torch adapter (in progress)", strict=False)
+def test_cross_cls_4ef_logit_parity(torch_seed):
+    """`CrossMamba_4ef.py:756-867` (fusion at every stage)."""
+    _cross_classifier_parity(f"{REF}/CrossMamba/CrossMamba_4ef.py",
+                             "ref_cc_4ef", "all", seed=12)
+
+
+def test_vfefm_2b2_output_parity(torch_seed):
+    """CrossMamba fusion U-Net (`CrossMamba_fusion_2b2.py:1078-1285`):
+    fused-image output parity with imported weights."""
+    from medical_image_classification_tpu.models.crossmamba import FusionVFEFM
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_vfefm_state_dict)
+    mod = load_reference_module(f"{REF}/CrossMamba/CrossMamba_fusion_2b2.py",
+                                "ref_vfefm_2b2")
+    depths, dims = (1, 1, 1, 1), (64, 128, 256, 512)
+    depths_dec, dims_dec = (1, 1, 1, 1), (512, 256, 128, 64)
+    torch.manual_seed(13)
+    ref = mod.VFEFM(depths=list(depths), dims=list(dims),
+                    depths_decoder=list(depths_dec),
+                    dims_decoder=list(dims_dec), d_state=16,
+                    cat_method="stack", drop_path_rate=0.0)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, stats = import_vfefm_state_dict(sd, depths=depths,
+                                            depths_decoder=depths_dec,
+                                            dims=dims)
+    model = FusionVFEFM(depths=depths, dims=dims, depths_decoder=depths_dec,
+                        dims_decoder=dims_dec, d_state=16,
+                        cat_method="stack", drop_path_rate=0.0)
+    ref.eval()
+    rng = np.random.RandomState(13)
+    x1 = rng.rand(1, 3, 64, 64).astype(np.float32)
+    x2 = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x1), torch.from_numpy(x2)).numpy()
+    av = {"params": _np_tree(params)}
+    if stats:
+        av["batch_stats"] = _np_tree(stats)
+    out = np.asarray(model.apply(
+        av, jnp.asarray(np.transpose(x1, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(x2, (0, 2, 3, 1))), train=False))
+    out_nchw = np.transpose(out, (0, 3, 1, 2))
+    assert out_nchw.shape == ref_out.shape
+    # tolerance note: every encoder/decoder stage matches <= 8e-4 and the
+    # isolated final modules <= 2e-4 (measured), but the closing
+    # 16-channel LayerNorm divides by a tiny per-position std and amplifies
+    # the accumulated fp32 noise ~400x; 5e-2 reflects that conditioning,
+    # not a semantic difference.
+    np.testing.assert_allclose(out_nchw, ref_out, atol=5e-2, rtol=5e-2)
