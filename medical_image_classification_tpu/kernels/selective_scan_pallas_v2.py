@@ -75,19 +75,19 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     b = ((dt * u)[:, None, :] * Bv[:, :, None]).reshape(nb, S, N, Dt)
     C4 = Cv.reshape(nb, S, N)
 
-    # sequential in-sub-block scan: local states + running decays + local y
+    # sequential in-sub-block scan: local states + running decays
     order = range(S - 1, -1, -1) if reverse else range(S)
     order = list(order)
     s0 = order[0]
     acc_a = a[:, s0]                                    # [nb, N, Dt]
     acc_b = b[:, s0]
-    y_loc = {s0: jnp.sum(C4[:, s0][:, :, None] * acc_b, axis=1)}  # [nb, Dt]
-    corr_c = {s0: C4[:, s0][:, :, None] * acc_a}        # C*a_run for the fix-up
+    xloc = {s0: acc_b}
+    aruns = {s0: acc_a}
     for s in order[1:]:
         acc_b = a[:, s] * acc_b + b[:, s]
         acc_a = a[:, s] * acc_a
-        y_loc[s] = jnp.sum(C4[:, s][:, :, None] * acc_b, axis=1)
-        corr_c[s] = C4[:, s][:, :, None] * acc_a
+        xloc[s] = acc_b
+        aruns[s] = acc_a
     tot_a, tot_b = acc_a, acc_b                         # sub-block totals
 
     # inclusive doubling scan over the nb sub-block totals (tiny)
@@ -114,10 +114,11 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)
         carry = pb[nb - 1] + pa[nb - 1] * state[...]
 
-    # y = y_local + sum_n (C * a_run) * e_b   (+ D skip)
+    # y[s] = C . (x_local[s] + a_run[s] * e_b)   (+ D skip)
     # (middle-axis stack does not lower on Mosaic; write rows via scratch)
     for s in range(S):
-        y_scr[:, s] = y_loc[s] + jnp.sum(corr_c[s] * e_b, axis=1)
+        x_s = xloc[s] + aruns[s] * e_b
+        y_scr[:, s] = jnp.sum(C4[:, s][:, :, None] * x_s, axis=1)
     y = y_scr[...].reshape(T, Dt) + u * Dskip_ref[0].astype(jnp.float32)
     y_ref[0] = y.astype(y_ref.dtype)
     state[...] = carry

@@ -203,6 +203,37 @@ class UpLayer(nn.Module):
         return x1 + f1, x2 + f2
 
 
+class UpLayerSingle(nn.Module):
+    """Single-stream decoder stage of the `_2c1` variant
+    (`CrossMamba_fusion_2c1.py` upLayer): PatchExpand -> fold the two skip
+    maps (cat_down) -> in_proj on the concat -> blocks.  No decoder fusion."""
+    dim: int
+    depth: int
+    d_state: int = 128
+    ssd_headdim: int = 64
+    drop_paths: Sequence[float] = ()
+    upsample: bool = True
+    skip: bool = True
+
+    @nn.compact
+    def __call__(self, x, s1, s2, train: bool = False):
+        if self.upsample:
+            x = PatchExpand(name="upsample")(x)
+        if self.skip:
+            sdown = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                             name="cat_down")(jnp.concatenate([s1, s2],
+                                                              axis=-1))
+            x = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                         name="in_proj")(jnp.concatenate([x, sdown], axis=-1))
+        for i in range(self.depth):
+            dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
+            x = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
+                            d_state=self.d_state,
+                            ssd_headdim=self.ssd_headdim,
+                            name=f"blocks_{i}")(x, train)
+        return x
+
+
 class FusionVFEFM(nn.Module):
     """Dual-branch image-fusion U-Net (CT/MRI → fused image).
 
@@ -243,19 +274,47 @@ class FusionVFEFM(nn.Module):
             p += d
 
         # 1x1 conv bridges (`:1189-1190`)
+        nd = len(self.depths_decoder)
+        dpr_d = np.linspace(0, self.drop_path_rate,
+                            sum(self.depths_decoder)).tolist()
+
+        def skip_for(j):
+            # match the skip whose spatial size equals the post-upsample
+            # size (`:1249-1266`): layer j sits at encoder level nd-2-j
+            # after its upsample (level 0 for the last layer, which reuses
+            # the H/4 skip like the reference's search)
+            idx = 0 if j == nd - 1 else nd - 2 - j
+            return skips[idx]
+
+        if self.single_decoder:
+            # the `_2c1` wiring (`CrossMamba_fusion_2c1.py`): ONE Linear
+            # bridge on the concat, a single-stream decoder whose layers
+            # fold the (s1, s2) skips via cat_down + in_proj and have NO
+            # decoder fusion, then final_expand + 1x1 conv.  (The file also
+            # defines norm/final_cat_proj but its forward never uses them.)
+            x = nn.Dense(self.dims_decoder[0], kernel_init=trunc_normal_02,
+                         name="bridge")(jnp.concatenate([x1, x2], axis=-1))
+            p = 0
+            for j in range(nd):
+                d = self.depths_decoder[j]
+                ups = j < nd - 1
+                block_dim = (self.dims_decoder[j] // 2 if ups
+                             else self.dims_decoder[j])
+                s1, s2 = (None, None) if j == 0 else skip_for(j)
+                x = UpLayerSingle(
+                    dim=block_dim, depth=d, d_state=self.d_state,
+                    ssd_headdim=self.ssd_headdim,
+                    drop_paths=tuple(dpr_d[p:p + d]), upsample=ups,
+                    skip=j > 0, name=f"layers_up_{j}")(x, s1, s2, train)
+                p += d
+            x = FinalPatchExpand(name="final_expand")(x)
+            return nn.Conv(1, (1, 1), kernel_init=kaiming_conv,
+                           name="final_conv")(x)
+
         x1 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
                      name="bridge1")(x1)
         x2 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
                      name="bridge2")(x2)
-        if self.single_decoder:
-            merged = nn.Dense(self.dims_decoder[0], kernel_init=trunc_normal_02,
-                              name="merge_proj")(
-                jnp.concatenate([x1, x2], axis=-1))
-            x1 = x2 = merged
-
-        nd = len(self.depths_decoder)
-        dpr_d = np.linspace(0, self.drop_path_rate,
-                            sum(self.depths_decoder)).tolist()
         p = 0
         for j in range(nd):
             d = self.depths_decoder[j]
@@ -266,13 +325,8 @@ class FusionVFEFM(nn.Module):
                 s1 = s2 = None
                 use_skip = False
             else:
-                # match the skip whose spatial size equals the post-upsample
-                # size (`:1249-1266`): layer j sits at encoder level
-                # nd-2-j after its upsample (level 0 for the last layer,
-                # which reuses the H/4 skip like the reference's search).
                 use_skip = True
-                idx = 0 if j == nd - 1 else nd - 2 - j
-                s1, s2 = skips[idx]
+                s1, s2 = skip_for(j)
             x1, x2 = UpLayer(
                 dim=block_dim, depth=d, cat_method=self.cat_method,
                 d_state=self.d_state, fusion_d_state=self.fusion_d_state,

@@ -474,10 +474,38 @@ def import_vfefm_state_dict(sd, depths=(2, 2, 4, 2),
                 lp[f"downsample{b}"] = _merging(sd, f"{p}.downsample{b}")
         params[f"layers_{i}"] = lp
         stats[f"layers_{i}"] = ls
+    if single_decoder:
+        # `_2c1`: ONE Linear bridge on the concat; single-stream decoder
+        # (upsample / cat_down / in_proj / blocks, no decoder fusion); the
+        # file's norm/final_cat_proj exist but its forward never uses them
+        params["bridge"] = _dense(sd, "bridge")
+        for j, depth in enumerate(depths_decoder):
+            p = f"layers_up.{j}"
+            ups = j < len(depths_decoder) - 1
+            block_dim = dims_dec[j] // 2 if ups else dims_dec[j]
+            lp, ls = {}, {}
+            nheads = block_dim // headdim
+            for k in range(depth):
+                q = f"{p}.blocks.{k}"
+                cb_p, cb_s = _conv_branch(sd, q + ".conv33conv33conv11")
+                sa_p, _ = _ss2d_ssd(sd, q + ".self_attention", nheads)
+                lp[f"blocks_{k}"] = {"ln_1": _ln(sd, q + ".ln_1"),
+                                     "self_attention": sa_p,
+                                     "conv_branch": cb_p}
+                ls[f"blocks_{k}"] = {"conv_branch": cb_s}
+            if f"{p}.upsample.expand.weight" in sd:
+                lp["upsample"] = _expand(sd, f"{p}.upsample")
+            if f"{p}.cat_down.weight" in sd:
+                lp["cat_down"] = _dense(sd, f"{p}.cat_down")
+                lp["in_proj"] = _dense(sd, f"{p}.in_proj")
+            params[f"layers_up_{j}"] = lp
+            stats[f"layers_up_{j}"] = ls
+        params["final_expand"] = _expand(sd, "final_expand")
+        params["final_conv"] = _conv2d(sd, "final_conv")
+        return params, stats
+
     params["bridge1"] = _conv2d(sd, "bridge1")
     params["bridge2"] = _conv2d(sd, "bridge2")
-    if single_decoder and "merge_proj.weight" in sd:
-        params["merge_proj"] = _dense(sd, "merge_proj")
     for j, depth in enumerate(depths_decoder):
         p = f"layers_up.{j}"
         ups = j < len(depths_decoder) - 1

@@ -129,15 +129,17 @@ def calib_kernel_bench(stage_cfg, iters):
     pad = (-L) % T
     Lp = L + pad
 
+    cdt = jnp.bfloat16 if os.environ.get("CALIB_BF16") else jnp.float32
+
     def kern(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref):
-        uf = u_ref[0].astype(jnp.float32)
-        dt = jax.nn.softplus(dt_ref[0].astype(jnp.float32))
-        Av = A_ref[0].astype(jnp.float32)
-        Bv = B_ref[0].astype(jnp.float32)
-        Cv = C_ref[0].astype(jnp.float32)
+        uf = u_ref[0].astype(cdt)
+        dt = jax.nn.softplus(dt_ref[0].astype(cdt))
+        Av = A_ref[0].astype(cdt)
+        Bv = B_ref[0].astype(cdt)
+        Cv = C_ref[0].astype(cdt)
         a = jnp.exp(dt[:, None, :] * Av[None])
         b = (dt * uf)[:, None, :] * Bv[:, :, None]
-        y = jnp.sum(Cv[:, :, None] * (a * b), axis=1)
+        y = jnp.sum((Cv[:, :, None] * (a * b)).astype(jnp.float32), axis=1)
         y_ref[0] = y.astype(y_ref.dtype)
 
     nD = Dm // Dt
