@@ -170,7 +170,9 @@ class SS2DEfficient(nn.Module):
 class SS2DCrossEfficient(nn.Module):
     """Two-input SS2D: fuse x = x1*x2 + x1 + x2, scan once, gate with both
     branches (`cross.py:890-1230`).  NB the reference computes
-    ``z2 = act(z1)`` — a copy-paste bug (`cross.py:1212`) we fix to act(z2)."""
+    ``z2 = act(z1)`` (`cross.py:1208`) — a copy-paste slip baked into any
+    trained checkpoint, so it is the DEFAULT here; set fix_z2=True for the
+    intended act(z2)."""
     d_model: int
     d_state: int = 16
     ssm_ratio: float = 2.0
@@ -178,6 +180,7 @@ class SS2DCrossEfficient(nn.Module):
     dropout: float = 0.0
     bias: bool = False
     step_size: int = 2
+    fix_z2: bool = False
     scan_impl: str = "auto"
 
     @nn.compact
@@ -193,8 +196,8 @@ class SS2DCrossEfficient(nn.Module):
                        kernel_init=trunc_normal_02, name="in_proj2")(x2)
         xa, z1 = jnp.split(xz1, 2, axis=-1)
         xb, z2 = jnp.split(xz2, 2, axis=-1)
+        z2 = jax.nn.silu(z2 if self.fix_z2 else z1)   # ref slip: act(z1) twice
         z1 = jax.nn.silu(z1)
-        z2 = jax.nn.silu(z2)
         xa = jax.nn.silu(conv(xa))
         xb = jax.nn.silu(conv(xb))
         x = xa * xb + xa + xb                    # content fuse (`cross.py:372`)
@@ -267,26 +270,50 @@ class BiAttn(nn.Module):
         red = max(1, int(c * self.act_ratio))
         h = nn.LayerNorm(name="norm")(x)
         g = jnp.mean(h, axis=(1, 2), keepdims=True)
-        g = nn.gelu(nn.Dense(red, name="global_reduce")(g))
+        g = nn.gelu(nn.Dense(red, name="global_reduce")(g),
+                    approximate=False)   # torch nn.GELU is erf-exact
         attn = jax.nn.sigmoid(nn.Dense(c, name="channel_select")(g))
         return x * attn
 
 
 class VSSBlockNew(nn.Module):
-    """Plain VMamba block: LN -> SS2DEfficient -> DropPath + residual."""
+    """FusionMamba encoder/decoder block (`cross.py:1297-1380` VSSBlock_new):
+
+        h = LN(x); y_ssm = SS2D_v2(h); y = y_ssm + eca(y_ssm)
+        y_conv = LDC(y); out = x + droppath(se(y_ssm) + se(y_conv))
+        out = out + droppath(mlp(LN2(out)))          # 4x GELU MLP
+
+    (se = ONE BiAttn applied to both branches — shared weights in the
+    reference too.)  NB the reference passes ``d_state`` into the block
+    but VSSBlock_new's kwarg is ``ssm_d_state``, so it lands in **kwargs
+    and the blocks always run their d_state=16 default — mirrored here by
+    keeping our d_state field default 16."""
     dim: int
     d_state: int = 16
     drop_path: float = 0.0
+    mlp_ratio: float = 4.0
     scan_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
-        h = SS2DEfficient(self.dim, d_state=self.d_state,
-                          scan_impl=self.scan_impl, name="self_attention")(
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        y_ssm = SS2DEfficient(self.dim, d_state=self.d_state,
+                              scan_impl=self.scan_impl, name="op")(
             h, train=train)
-        h = DropPath(self.drop_path, name="drop_path")(h, deterministic=not train)
-        return x + h
+        y = y_ssm + ECALayer(name="channel_attn")(y_ssm)
+        y_conv = LDCConv(self.dim, name="conv_branch")(y)
+        se = BiAttn(name="se")
+        dp = DropPath(self.drop_path, name="drop_path")
+        out = x + dp(se(y_ssm) + se(y_conv), deterministic=not train)
+        if self.mlp_ratio > 0:
+            h2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(out)
+            h2 = nn.Dense(int(self.dim * self.mlp_ratio),
+                          kernel_init=trunc_normal_02, name="mlp_fc1")(h2)
+            h2 = nn.gelu(h2, approximate=False)  # torch GELU = erf
+            h2 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                          name="mlp_fc2")(h2)
+            out = out + dp(h2, deterministic=not train)
+        return out
 
 
 class VSSBlockCrossNew(nn.Module):

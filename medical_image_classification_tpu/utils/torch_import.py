@@ -614,3 +614,120 @@ def import_cross_classifier_state_dict(sd, depths=(2, 2, 4, 2),
                                                       f"layers{b}.{i}.downsample")
     params["head"] = _dense(sd, "head")
     return params, stats
+
+
+# --- FusionMamba (vendored VSSM_Fusion) importer ------------------------------
+
+def _ldc(sd, p):
+    """LDC / Enhancement_texture_LDC (`cross.py:790-840`): conv weight +
+    learnable_mask [out,in] (ours [in,out]) + theta.  base_mask is a fixed
+    ones buffer; Differential_enhance.lastconv is defined but never used."""
+    return {"kernel": _conv(sd[p + ".conv.weight"]),
+            "learnable_mask": _t(sd[p + ".learnable_mask"]),
+            "learnable_theta": np.asarray(sd[p + ".learnable_theta"])}
+
+
+def _eca(sd, p):
+    """eca_layer (`cross.py:1233-1259`): Conv1d(1,1,k) -> flax Conv kernel
+    [k, 1, 1]."""
+    w = np.asarray(sd[p + ".conv.weight"])                  # [1, 1, k]
+    return {"conv": {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}}
+
+
+def _scan_params(sd, p, d_inner, d_state):
+    K = 4
+    return {
+        "x_proj_weight": np.asarray(sd[p + ".x_proj_weight"]),
+        "dt_projs_weight": np.asarray(sd[p + ".dt_projs_weight"]),
+        "dt_projs_bias": np.asarray(sd[p + ".dt_projs_bias"]),
+        "A_logs": np.asarray(sd[p + ".A_logs"]).reshape(K, d_inner, d_state),
+        "Ds": np.asarray(sd[p + ".Ds"]).reshape(K, d_inner),
+    }
+
+
+def _ss2d_efficient(sd, p, d_model, d_state=16):
+    """cross.py SS2D (v2 / EfficientScan core, `cross.py:417-743`)."""
+    d_expand = 2 * d_model
+    return {
+        "in_proj": _dense(sd, p + ".in_proj"),
+        "conv2d": _conv2d(sd, p + ".conv2d"),
+        "scan": _scan_params(sd, p, d_expand, d_state),
+        "out_norm": _ln(sd, p + ".out_norm"),
+        "out_proj": _dense(sd, p + ".out_proj"),
+    }
+
+
+def _biattn(sd, p):
+    return {"norm": _ln(sd, p + ".norm"),
+            "global_reduce": _dense(sd, p + ".global_reduce"),
+            "channel_select": _dense(sd, p + ".channel_select")}
+
+
+def _vssblock_new(sd, p, dim, d_state=16):
+    """VSSBlock_new (`cross.py:1297-1380`)."""
+    return {
+        "norm": _ln(sd, p + ".norm"),
+        "op": _ss2d_efficient(sd, p + ".op", dim, d_state),
+        "channel_attn": _eca(sd, p + ".self_attention_cross_channel"),
+        "conv_branch": _ldc(sd, p + ".conv_branch"),
+        "se": _biattn(sd, p + ".se"),
+        "norm2": _ln(sd, p + ".norm2"),
+        "mlp_fc1": _dense(sd, p + ".mlp.fc1"),
+        "mlp_fc2": _dense(sd, p + ".mlp.fc2"),
+    }
+
+
+def import_vssm_fusion_state_dict(sd, depths=(2, 2, 9, 2),
+                                  depths_decoder=(2, 9, 2, 2),
+                                  dims=(96, 192, 384, 768),
+                                  d_state: int = 16):
+    """Vendored FusionMamba VSSM_Fusion (`vmamba_Fusion_efficross.py:753-929`)
+    state_dict -> params for models/fusionmamba.py::VSSMFusion.
+
+    NB the reference passes d_state into VSSBlock_new as ``d_state`` but the
+    block's kwarg is ``ssm_d_state``, so every block runs its d_state=16
+    default regardless (`vmamba_Fusion_efficross.py:657`, `cross.py:1304`).
+    """
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+    dims_dec = tuple(reversed(dims))
+    params: dict = {}
+    for b in (1, 2):
+        params[f"patch_embed{b}"] = {"proj": _conv2d(sd, f"patch_embed{b}.proj"),
+                                     "norm": _ln(sd, f"patch_embed{b}.norm")}
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            params[f"layers_{i}_blocks_{j}"] = _vssblock_new(
+                sd, f"layers.{i}.blocks.{j}", dims[i])
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layers_{i}_downsample"] = _merging(
+                sd, f"layers.{i}.downsample")
+    for i, depth in enumerate(depths_decoder):
+        for j in range(depth):
+            params[f"layers_up_{i}_blocks_{j}"] = _vssblock_new(
+                sd, f"layers_up.{i}.blocks.{j}", dims_dec[i])
+        if f"layers_up.{i}.upsample.expand.weight" in sd:
+            params[f"layers_up_{i}_upsample"] = _expand(
+                sd, f"layers_up.{i}.upsample")
+    for i, dim in enumerate(dims):
+        p = f"Cross_block.{i}"
+        params[f"cross_block_{i}"] = {
+            "ln_1": _ln(sd, p + ".ln_1"),
+            "ln_2": _ln(sd, p + ".ln_2"),
+            "cross_layer": {
+                "texture_enhance1": _ldc(sd, p + ".Cross_layer.texture_enhance1"),
+                "texture_enhance2": _ldc(sd, p + ".Cross_layer.texture_enhance2"),
+            },
+            "self_attention_cross": {
+                "in_proj1": _dense(sd, p + ".self_attention_cross.in_proj1"),
+                "in_proj2": _dense(sd, p + ".self_attention_cross.in_proj2"),
+                "conv2d": _conv2d(sd, p + ".self_attention_cross.conv2d"),
+                "scan": _scan_params(sd, p + ".self_attention_cross",
+                                     2 * dim, d_state),
+                "out_norm": _ln(sd, p + ".self_attention_cross.out_norm"),
+                "out_proj": _dense(sd, p + ".self_attention_cross.out_proj"),
+            },
+            "eca": _eca(sd, p + ".self_attention_cross_spatial"),
+        }
+    params["final_up"] = _expand(sd, "final_up")
+    params["final_conv"] = _conv2d(sd, "final_conv")
+    return params

@@ -183,6 +183,12 @@ def install_reference_stubs():
         du = types.ModuleType("mamba_ssm.distributed.distributed_utils")
         du.all_reduce = lambda x, *a, **k: x
         du.reduce_scatter = lambda x, *a, **k: x
+        root.Mamba = type("Mamba", (tnn.Module,), {})   # cross.py:9 import
+        modules_pkg = types.ModuleType("mamba_ssm.modules")
+        msimple = types.ModuleType("mamba_ssm.modules.mamba_simple")
+        msimple.Mamba = root.Mamba
+        sys.modules["mamba_ssm.modules"] = modules_pkg
+        sys.modules["mamba_ssm.modules.mamba_simple"] = msimple
         for name, mod in [
             ("mamba_ssm", root), ("mamba_ssm.ops", ops),
             ("mamba_ssm.ops.selective_scan_interface", ssi),
@@ -205,3 +211,46 @@ def load_reference_module(path: str, name: str):
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def _selective_scan_cuda_fwd(u, delta, A, B, C, D=None, z=None,
+                             delta_bias=None, delta_softplus=False, *args):
+    """CPU stand-in for the pybind `selective_scan_cuda.fwd`
+    (`selective_scan.cpp:495-497` ABI): returns (out, x_checkpoint);
+    backward unsupported (parity tests run under no_grad)."""
+    out = selective_scan_sequential(u, delta, A, B, C, D=D, z=z,
+                                    delta_bias=delta_bias,
+                                    delta_softplus=delta_softplus)
+    return out, torch.zeros(1)
+
+
+def install_cross_stubs():
+    """Extra stubs for `FusionMamba/models/cross.py` + the vendored
+    `vmamba_Fusion_efficross.py` (imports `models.cross`, the CUDA pybind
+    module, and builds a .cuda() constant in LDC)."""
+    install_reference_stubs()
+    if "selective_scan_cuda" not in sys.modules:
+        sc = types.ModuleType("selective_scan_cuda")
+        sc.fwd = _selective_scan_cuda_fwd
+        sc.bwd = None
+        sys.modules["selective_scan_cuda"] = sc
+    # LDC builds `torch.tensor(...).cuda()` at construction
+    # (`cross.py:798-800`) — make .cuda() a no-op on CPU.
+    if not getattr(torch.Tensor.cuda, "_cpu_noop", False):
+        def _cuda_noop(self, *a, **k):
+            return self
+        _cuda_noop._cpu_noop = True
+        torch.Tensor.cuda = _cuda_noop
+
+
+def load_fusionmamba_modules():
+    """Load cross.py as `models.cross` then the vendored VSSM_Fusion file."""
+    install_cross_stubs()
+    base = "/root/reference/CrossMamba/FusionMamba/models"
+    if "models" not in sys.modules:
+        sys.modules["models"] = types.ModuleType("models")
+    cross = load_reference_module(f"{base}/cross.py", "models.cross")
+    sys.modules["models"].cross = cross
+    vm = load_reference_module(f"{base}/vmamba_Fusion_efficross.py",
+                               "ref_vmamba_fusion")
+    return cross, vm

@@ -407,3 +407,46 @@ def test_vfefm_2c1_output_parity(torch_seed):
     assert out_nchw.shape == ref_out.shape
     # same final-LayerNorm noise-amplification caveat as the 2b2 test
     np.testing.assert_allclose(out_nchw, ref_out, atol=5e-2, rtol=5e-2)
+
+
+def test_vssm_fusion_output_parity(torch_seed):
+    """Vendored FusionMamba VSSM_Fusion (`vmamba_Fusion_efficross.py:753-929`)
+    vs models/fusionmamba.py::VSSMFusion with imported weights.  Loads the
+    real reference module tree (cross.py as `models.cross`, the CUDA pybind
+    replaced by a sequential scan, LDC's .cuda() constant made a no-op)."""
+    from reference_stubs import load_fusionmamba_modules
+    from medical_image_classification_tpu.models.fusionmamba import VSSMFusion
+    from medical_image_classification_tpu.utils.torch_import import (
+        import_vssm_fusion_state_dict)
+
+    cross, vm = load_fusionmamba_modules()
+    depths, ddec = (1, 1), (1, 1)
+    dims, dims_dec = (32, 64), (64, 32)
+    torch.manual_seed(15)
+    ref = vm.VSSM_Fusion(patch_size=4, in_chans=1, depths=list(depths),
+                         depths_decoder=list(ddec), dims=list(dims),
+                         dims_decoder=list(dims_dec), d_state=16,
+                         drop_rate=0.0, attn_drop_rate=0.0,
+                         drop_path_rate=0.0)
+    ref.eval()
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params = import_vssm_fusion_state_dict(sd, depths=depths,
+                                           depths_decoder=ddec, dims=dims)
+    model = VSSMFusion(depths=depths, depths_decoder=ddec, dims=dims,
+                       dims_decoder=dims_dec, d_state=16, drop_path_rate=0.0)
+
+    rng = np.random.RandomState(15)
+    x1 = rng.rand(1, 1, 64, 64).astype(np.float32)
+    x2 = rng.rand(1, 1, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x1), torch.from_numpy(x2))  # NCHW
+    out = np.asarray(model.apply(
+        {"params": _np_tree(params)},
+        jnp.asarray(np.transpose(x1, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(x2, (0, 2, 3, 1))), train=False))
+    ref_np = ref_out.numpy()
+    if ref_np.shape[1] == 1:                 # reference returns NCHW
+        ref_np = np.transpose(ref_np, (0, 2, 3, 1))
+    assert out.shape == ref_np.shape
+    np.testing.assert_allclose(out, ref_np, atol=5e-2, rtol=5e-2)
