@@ -197,17 +197,13 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
     x = x_scr[...].reshape(T, N, Dt)
     g = g_scr[...].reshape(T, N, Dt)
-    a_whole = a.reshape(T, N, Dt)
-    if reverse:
-        # the recurrence multiplied the NEXT state: x_t = a_t x_{t+1} + b_t
-        x_prev = jnp.concatenate([x[1:], x_in[None]], axis=0)
-    else:
-        x_prev = jnp.concatenate([x_in[None], x[:T - 1]], axis=0)
 
     # ---- gradients (whole-chunk expressions) ----
     gB = jnp.sum(g * Bv_f[:, :, None], axis=1)              # [T, Dt]
     du = dt_f * gB + Dsk * dy_f
-    g_ax = g * a_whole * x_prev
+    # a_t * x_{neighbour} = x_t - b_t straight from the recurrence (both
+    # directions) — saves the shifted x_prev copy and the a reshape
+    g_ax = g * (x - b_flat)
     ddt = jnp.sum(g_ax * A[None], axis=1) + gB * u_f
     ddelta = sig_f * ddt
     du_ref[0] = du
