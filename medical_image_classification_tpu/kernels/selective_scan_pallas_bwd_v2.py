@@ -206,8 +206,11 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     g_ax = g * (x - b_flat)
     ddt = jnp.sum(g_ax * A[None], axis=1) + gB * u_f
     ddelta = sig_f * ddt
-    du_ref[0] = du
-    ddelta_ref[0] = ddelta
+    # write in the output dtype (input dtype in bf16 training): the values
+    # are cast to the primal dtype downstream anyway, and writing bf16 here
+    # halves the two biggest HBM stores + skips an XLA cast pass
+    du_ref[0] = du.astype(du_ref.dtype)
+    ddelta_ref[0] = ddelta.astype(ddelta_ref.dtype)
 
     dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2)  # [T, N]
     dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2)
@@ -304,8 +307,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
-            jax.ShapeDtypeStruct((G, Lp, Dm), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
+            jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
             jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
             jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
             jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
@@ -321,7 +324,11 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
             pltpu.VMEM((nb, S, N, Dt), jnp.float32),         # g rows
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            # sequences (dim 0) are carry-free: scratch accumulators reset at
+            # lidx==0, so Mosaic may pipeline across them.  The chunk walk
+            # (dim 1) and the d-tile accumulation (dim 2, dB/dC revisiting)
+            # stay order-dependent.
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=_INTERPRET,
     )(*operands)
 

@@ -196,7 +196,10 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32),
                         pltpu.VMEM((T // S, S, Dt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            # dim 0 is (sequence, d-tile) — carry-free, so "parallel" lets
+            # Mosaic pipeline across sequence boundaries; only the L-chunk
+            # walk (dim 1) is order-dependent (state carry).
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
     if want_state:

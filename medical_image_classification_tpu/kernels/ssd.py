@@ -51,6 +51,10 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
       4. state contribution    : Y_off  = C S_in * decay_from_start
     """
     out_dtype = x.dtype
+    # MXU inputs follow the activation dtype: bf16 activations hit the
+    # systolic array at native rate with fp32 accumulation
+    # (preferred_element_type); fp32 activations (parity tests) stay fp32.
+    mm_dtype = x.dtype
     Bsz, L, H, P = x.shape
     G, N = B.shape[2], B.shape[3]
     rep = H // G
@@ -70,55 +74,83 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     Lp = L + pad
     nc = Lp // chunk_size
 
-    # chunked views  (c = chunk index, l = position within chunk)
+    # chunked views  (c = chunk index, l = position within chunk).  Heads are
+    # group-major (head h belongs to group h // rep), so [H] reshapes to
+    # [G, rep] — B/C are NEVER materialised per head (the reference's Triton
+    # kernel broadcasts groups in-register; `jnp.repeat` here would both copy
+    # [B, L, H, N] to HBM and multiply the scores matmul cost by `rep`).
     xc = x.reshape(Bsz, nc, chunk_size, H, P)
     dtc = dt.reshape(Bsz, nc, chunk_size, H)
     Bc = B.reshape(Bsz, nc, chunk_size, G, N)
     Cc = C.reshape(Bsz, nc, chunk_size, G, N)
-    # broadcast groups over heads: [B, nc, l, H, N]
-    Bh = jnp.repeat(Bc, rep, axis=3)
-    Ch = jnp.repeat(Cc, rep, axis=3)
 
     dtA = dtc * A.astype(acc_dtype)                      # [B, nc, l, H]  (<= 0)
     A_cum = jnp.cumsum(dtA, axis=2)                      # [B, nc, l, H]
 
     # weight dt into B (discretisation): dB_t = dt_t * B_t
     dtx = (xc.astype(acc_dtype) * dtc[..., None])        # [B, nc, l, H, P]
+    dtx_r = dtx.reshape(Bsz, nc, chunk_size, G, rep, P)
 
-    # 1. intra-chunk (causal masked attention-like matmul)
+    # 1. intra-chunk (causal masked attention-like matmul).  Scores are
+    # computed once per GROUP (the expensive N-contraction), then modulated
+    # by the per-head decay matrix — `rep`x less MXU work than per-head.
     Lmat = jnp.exp(_segsum(jnp.moveaxis(dtA, 3, 2)))     # [B, nc, H, l, l]
-    scores = jnp.einsum("bclhn,bcshn->bchls", Ch, Bh,
+    Lmat_r = Lmat.reshape(Bsz, nc, G, rep, chunk_size, chunk_size)
+    scores = jnp.einsum("bclgn,bcsgn->bcgls",
+                        Cc.astype(mm_dtype), Bc.astype(mm_dtype),
+                        preferred_element_type=acc_dtype)  # [B, nc, G, l, s]
+    M = (scores[:, :, :, None] * Lmat_r).astype(mm_dtype)
+    Y_diag = jnp.einsum("bcgrls,bcsgrp->bclgrp", M, dtx_r.astype(mm_dtype),
                         preferred_element_type=acc_dtype)
-    Y_diag = jnp.einsum("bchls,bcshp->bclhp", scores * Lmat, dtx,
-                        preferred_element_type=acc_dtype)
+    Y_diag = Y_diag.reshape(Bsz, nc, chunk_size, H, P)
 
-    # 2. per-chunk end states
+    # 2. per-chunk end states (decay folds into the P-sized operand, not the
+    # N-sized one)
     decay_to_end = jnp.exp(A_cum[:, :, -1:, :] - A_cum)  # [B, nc, l, H]
-    S = jnp.einsum("bclhn,bclhp->bchpn", Bh * decay_to_end[..., None], dtx,
-                   preferred_element_type=acc_dtype)     # [B, nc, H, P, N]
+    dtx_d = dtx * decay_to_end[..., None]
+    S = jnp.einsum("bclgn,bclgrp->bcgrpn", Bc.astype(mm_dtype),
+                   dtx_d.reshape(Bsz, nc, chunk_size, G, rep, P).astype(mm_dtype),
+                   preferred_element_type=acc_dtype)
+    S = S.reshape(Bsz, nc, H, P, N)                      # [B, nc, H, P, N]
 
-    # 3. inter-chunk recurrence over nc (tiny sequential scan)
+    # 3+4. inter-chunk recurrence, with the incoming-state contribution
+    # fused into the walk.  The chunk state is HUGE ([B, H, P, N]; with the
+    # reference's d_state=128 x K quirk N=512 => ~64MB fp32 per state at
+    # MedSSD batch 16), so a log-depth ``associative_scan`` costs
+    # log2(nc) full HBM passes over the [B, nc, H, P, N] stack — measured
+    # ~2x slower than this single sequential pass, and materialising S_in
+    # is avoided entirely (Y_off comes out of the same walk).
     chunk_decay = jnp.exp(A_cum[:, :, -1, :])            # [B, nc, H]
-
-    def combine(e1, e2):
-        a1, s1 = e1
-        a2, s2 = e2
-        return a1 * a2, a2[..., None, None] * s1 + s2
-
-    if initial_state is not None:
-        S = S.at[:, 0].add(chunk_decay[:, 0][..., None, None] *
-                           initial_state.astype(acc_dtype))
-    a_acc, S_end = lax.associative_scan(combine, (chunk_decay, S), axis=1)
-    # state entering chunk c = state at end of chunk c-1
-    zero0 = jnp.zeros_like(S_end[:, :1])
-    S_in = jnp.concatenate([zero0, S_end[:, :-1]], axis=1)
-    if initial_state is not None:
-        S_in = S_in.at[:, 0].set(initial_state.astype(acc_dtype))
-
-    # 4. contribution of the incoming state
     decay_from_start = jnp.exp(A_cum)                    # [B, nc, l, H]
-    Y_off = jnp.einsum("bclhn,bchpn->bclhp", Ch * decay_from_start[..., None],
-                       S_in, preferred_element_type=acc_dtype)
+
+    S_carry = (jnp.zeros((Bsz, H, P, N), acc_dtype) if initial_state is None
+               else initial_state.astype(acc_dtype))
+
+    def chunk_step(S_prev, inp):
+        S_c, Cc_c, dec_c = inp
+        # Y_off for this chunk from the INCOMING state (scalar decay
+        # commutes out of the N-contraction: matmul first, then modulate)
+        Y_off_c = jnp.einsum(
+            "blgn,bgrpn->blgrp", Cc_c.astype(mm_dtype),
+            S_prev.reshape(Bsz, G, rep, P, N).astype(mm_dtype),
+            preferred_element_type=acc_dtype)
+        S_next = dec_c[..., None, None] * S_prev + S_c
+        return S_next, Y_off_c
+
+    xs_scan = (jnp.moveaxis(S, 1, 0), jnp.moveaxis(Cc, 1, 0),
+               jnp.moveaxis(chunk_decay, 1, 0))
+    if nc <= 32:        # unrolled: straight-line XLA, no stacking overhead
+        Y_offs = []
+        for c in range(nc):
+            S_carry, Y_off_c = chunk_step(
+                S_carry, jax.tree_util.tree_map(lambda t: t[c], xs_scan))
+            Y_offs.append(Y_off_c)
+        Y_off = jnp.stack(Y_offs, axis=1)                # [B, nc, l, G, rep, P]
+    else:
+        S_carry, Y_offs = lax.scan(chunk_step, S_carry, xs_scan)
+        Y_off = jnp.moveaxis(Y_offs, 0, 1)
+    Y_off = (Y_off.reshape(Bsz, nc, chunk_size, H, P)
+             * decay_from_start[..., None])
 
     y = (Y_diag + Y_off).reshape(Bsz, Lp, H, P)[:, :L]
     if D is not None:
@@ -131,7 +163,7 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
         y = y * jax.nn.silu(z.astype(acc_dtype))
     y = y.astype(out_dtype)
     if return_final_state:
-        return y, S_end[:, -1].astype(out_dtype)
+        return y, S_carry.astype(out_dtype)
     return y
 
 
