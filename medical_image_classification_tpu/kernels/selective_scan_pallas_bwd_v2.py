@@ -21,6 +21,8 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 _INTERPRET = False
+# see selective_scan_pallas_v2._DIM0_SEMANTICS
+_DIM0_SEMANTICS = "parallel"
 
 
 def _block_prefix(tot_a, tot_b, nb):
@@ -328,7 +330,7 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
             # lidx==0, so Mosaic may pipeline across them.  The chunk walk
             # (dim 1) and the d-tile accumulation (dim 2, dB/dC revisiting)
             # stay order-dependent.
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=(_DIM0_SEMANTICS, "arbitrary", "arbitrary")),
         interpret=_INTERPRET,
     )(*operands)
 

@@ -27,6 +27,10 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 _INTERPRET = False
+# dim-0 (sequence x d-tile) grid semantics: carry-free, so "parallel" lets
+# Mosaic pipeline across sequence boundaries.  Module-level so perf sweeps
+# can A/B it.
+_DIM0_SEMANTICS = "parallel"
 
 
 def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
@@ -196,10 +200,8 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32),
                         pltpu.VMEM((T // S, S, Dt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # dim 0 is (sequence, d-tile) — carry-free, so "parallel" lets
-            # Mosaic pipeline across sequence boundaries; only the L-chunk
-            # walk (dim 1) is order-dependent (state carry).
-            dimension_semantics=("parallel", "arbitrary")),
+            # only the L-chunk walk (dim 1) is order-dependent (state carry)
+            dimension_semantics=(_DIM0_SEMANTICS, "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
     if want_state:
