@@ -76,6 +76,52 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
     return results
 
 
+def bench_fusion(model_name: str, batch: int, size: int, iters: int):
+    """Fusion-family train throughput (pairs/sec): the reference anchor
+    config (batch 2, 256^2, Adam, SSIM+grad loss — `CrossMamba/train.py`)."""
+    import optax
+    from medical_image_classification_tpu.models.registry import (
+        create_fusion_model)
+    from medical_image_classification_tpu.train.fusion_losses import (
+        fusion_loss)
+    from medical_image_classification_tpu.train.optim import make_optimizer
+    from medical_image_classification_tpu.utils.timing import (
+        chained_device_time)
+
+    channels = 1 if model_name == "fusionmamba" else 3
+    model = create_fusion_model(model_name)
+    tx = make_optimizer("adam", 2e-4)
+    rng = jax.random.PRNGKey(0)
+    xa = jnp.asarray(np.random.RandomState(0).rand(
+        batch, size, size, channels), jnp.float32)
+    xb = jnp.asarray(np.random.RandomState(1).rand(
+        batch, size, size, channels), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, xa, xb,
+                           train=False)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+
+    def train_carry(carry):
+        params, bstats, opt_state = carry
+
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, xa, xb, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            gen = jnp.clip(out, 0.0, 1.0)
+            total, *_ = fusion_loss(xa, xb, gen)
+            return total, upd
+
+        (_, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                upd.get("batch_stats", bstats), opt_state2)
+
+    t = chained_device_time(train_carry, (params, bstats, tx.init(params)),
+                            iters=iters)
+    return {"train_ips": batch / t}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="medmamba")
@@ -84,10 +130,10 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--extra-models", default="medssd:16",
+    p.add_argument("--extra-models", default="medssd:16,vfefm_2b2:2",
                    help="comma list of model[:batch] also measured and "
-                        "reported under extra (VERDICT r1: track medssd "
-                        "per round); '' disables")
+                        "reported under extra (VERDICT r1: track medssd + "
+                        "one fusion model per round); '' disables")
     args = p.parse_args()
 
     n_dev = jax.local_device_count()
@@ -109,12 +155,17 @@ def main():
             "backend": jax.default_backend(),
         },
     }
+    from medical_image_classification_tpu.models.registry import (
+        available_fusion_models)
     for spec in filter(None, args.extra_models.split(",")):
         name, _, b = spec.partition(":")
         b = int(b) if b else args.batch
         try:
-            r = bench(name, b, args.size, max(args.iters // 2, 5), "both",
-                      args.dtype)
+            if name in available_fusion_models():
+                r = bench_fusion(name, b, 256, max(args.iters // 2, 5))
+            else:
+                r = bench(name, b, args.size, max(args.iters // 2, 5),
+                          "both", args.dtype)
             out["extra"][f"{name}_train_ips"] = round(r.get("train_ips", 0), 2)
             out["extra"][f"{name}_infer_ips"] = round(r.get("infer_ips", 0), 2)
             out["extra"][f"{name}_batch"] = b
