@@ -51,6 +51,7 @@ from medical_image_classification_tpu.kernels.selective_scan import (
 # T*N*Dt fp32), which is what the budget models.
 _T_CAP = 224
 _VMEM_BUDGET = int(8.5 * 1024 * 1024)
+_S_SUB = 16          # two-level sub-block length (sweepable)
 
 
 def _choose_tiles(L: int, Dm: int, N: int):
@@ -221,7 +222,7 @@ def _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt, reverse=False,
     size divides T, else the doubling-scan v1 (forward-only, no flags)."""
     from medical_image_classification_tpu.kernels import (
         selective_scan_pallas_v2 as v2)
-    S = 16 if T % 16 == 0 else 8
+    S = _S_SUB if T % _S_SUB == 0 else 8
     if T % S == 0:
         v2._INTERPRET = _INTERPRET
         return v2.fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T, Dt, S=S,
@@ -296,7 +297,7 @@ def _make_scan_folded(reverse: bool, softplus: bool = True,
         gy, glast = g if want_state else (g, None)
         if _BWD_IMPL == "pallas":
             T, Dt = tiles_of(u, A)
-            S = 16 if T % 16 == 0 else 8
+            S = _S_SUB if T % _S_SUB == 0 else 8
             if T % S == 0:
                 from medical_image_classification_tpu.kernels import (
                     selective_scan_pallas_bwd_v2 as bwd2)
