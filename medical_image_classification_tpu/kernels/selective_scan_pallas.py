@@ -204,7 +204,7 @@ def _fwd_folded(u, delta, A, B, C, Dskip, bias, T: int, Dt: int):
         ],
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
     y, xsave = y

@@ -212,7 +212,7 @@ def bwd_folded(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int):
             pltpu.VMEM((nD, 1, Dt), jnp.float32),           # dD acc
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=_INTERPRET,
     )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :], xsave, dy)
 

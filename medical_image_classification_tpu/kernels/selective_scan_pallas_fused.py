@@ -296,7 +296,7 @@ def _fwd(x, Wdt, WB, WC, dtw, A, Dskip, bias, T, S):
         scratch_shapes=[pltpu.VMEM((N, Dm), _F32),
                         pltpu.VMEM((nb, S, Dm), _F32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(x, Wdt, WB, WC, dtw, bias[:, None, :], At, Dskip[:, None, :])
     return y[:, :L], xsave
@@ -368,7 +368,7 @@ def _bwd(x, Wdt, WB, WC, dtw, A, Dskip, bias, xsave, dy, T, S):
             pltpu.VMEM((nb, S, N, Dm), _F32),            # g rows
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(x, Wdt, WB, WC, dtw, bias[:, None, :], At, Dskip[:, None, :], xsave, dy)
 
