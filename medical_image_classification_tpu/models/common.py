@@ -62,7 +62,13 @@ class PatchEmbed(nn.Module):
                     padding="VALID", kernel_init=kaiming_conv,
                     dtype=self.dtype, name="proj")(x)
         if self.use_norm:
+            # LN statistics stay fp32 (default promotion) but the OUTPUT is
+            # cast back to the compute dtype: without this the whole stage-0
+            # residual stream (adds, concats, channel shuffles) runs in fp32
+            # — measured as fp32 copy traffic in the step trace.
             x = nn.LayerNorm(name="norm")(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         return x
 
 

@@ -102,6 +102,10 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         if merge:
             return cross_merge(ys, H, W)
         return cross_merge_stack(ys, H, W)
+    if impl == "pallas_fused":
+        # fused kernel unsupported at these shapes — degrade to the normal
+        # ladder instead of reaching the dispatcher with an unknown impl
+        impl = "auto"
 
     if (seq_axis is None and impl in ("auto", "pallas")
             and pallas_folded_supported(L, D, d_state)):

@@ -18,11 +18,16 @@ from jax import lax
 
 
 def chained_device_time(step_like: Callable, init_carry, iters: int = 50,
-                        warmup_reps: int = 2) -> float:
+                        warmup_reps: int = 2, reps: int = 3) -> float:
     """Time one iteration of ``carry -> carry`` on-device.
 
     step_like: function taking and returning a pytree carry of fixed shape.
     Returns seconds per iteration (compile excluded, RTT amortised).
+
+    ``reps``: the (t_N, t_1) measurement pair is repeated and the MINIMUM
+    per-iteration time returned — single pairs swing +-13% through the
+    relay (host-side scheduling noise adds to either leg; the minimum is
+    the least-contaminated estimate of device time).
     """
 
     @jax.jit
@@ -38,17 +43,20 @@ def chained_device_time(step_like: Callable, init_carry, iters: int = 50,
         out = run(init_carry, jnp.int32(2))
         _sync(out)
 
-    t0 = time.perf_counter()
-    out = run(init_carry, jnp.int32(iters))
-    _sync(out)
-    t_n = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        out = run(init_carry, jnp.int32(iters))
+        _sync(out)
+        t_n = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = run(init_carry, jnp.int32(1))
-    _sync(out)
-    t_1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = run(init_carry, jnp.int32(1))
+        _sync(out)
+        t_1 = time.perf_counter() - t0
+        best = min(best, (t_n - t_1) / max(iters - 1, 1))
 
-    return max((t_n - t_1) / max(iters - 1, 1), 1e-9)
+    return max(best, 1e-9)
 
 
 def _sync(tree):

@@ -106,3 +106,15 @@ def test_intermediates_for_gradcam():
 
 def test_registry_lists_all():
     assert len(available_models()) >= 12
+
+
+def test_pallas_fused_impl_degrades_gracefully():
+    """scan_impl='pallas_fused' at shapes the fused kernel does not support
+    must fall back to the normal dispatch ladder, not crash (regression:
+    the raw impl string used to reach selective_scan() -> ValueError)."""
+    model = create_model("medmamba", num_classes=5, d_state=4,
+                         scan_impl="pallas_fused", **SMALL)
+    x = jnp.ones((2, 32, 32, 3))
+    out, _, _ = _init_and_forward(model, x)
+    assert out.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
