@@ -40,3 +40,62 @@ class StepTimer:
         rate = self.done / max(elapsed, 1e-9)
         eta = (self.total - self.done) / max(rate, 1e-9)
         return f"{self.done}/{self.total} ({rate:.2f} it/s, ETA {eta:.0f}s)"
+
+
+def summarize_trace(logdir: str, steps: int = 1):
+    """Aggregate device-op time from a ``trace()`` capture.
+
+    Parses the Chrome-trace JSON the TPU profiler writes (works through the
+    axon relay, unlike naive timers) and returns a dict with total device
+    time plus breakdowns by HLO category, source line, and op kind —
+    everything needed for step-time attribution without TensorBoard.
+
+    ``steps``: number of identical steps captured inside the trace; all
+    durations are divided by it so results read as ms/step.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    tids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+
+    by_src = collections.Counter()
+    by_cat = collections.Counter()
+    by_op = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        if tids.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
+        a = e.get("args", {})
+        d = e["dur"] / 1e3 / max(steps, 1)          # ms/step
+        total += d
+        by_cat[a.get("hlo_category", "?")] += d
+        by_src[a.get("source", "?")] += d
+        by_op[e["name"].split(".")[0]] += d
+    return {
+        "total_ms": total,
+        "by_category": dict(by_cat.most_common()),
+        "by_source": dict(by_src.most_common()),
+        "by_op": dict(by_op.most_common()),
+    }
+
+
+def print_trace_summary(summary, top: int = 15) -> None:
+    print(f"== device op time: {summary['total_ms']:.2f} ms/step ==")
+    for section in ("by_category", "by_source", "by_op"):
+        print(f"\n-- {section} --")
+        for k, v in list(summary[section].items())[:top]:
+            print(f"{v:8.3f} ms  {k}")

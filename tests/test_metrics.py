@@ -54,3 +54,18 @@ def test_count_and_csv(tmp_path):
     metrics_to_csv(str(p), {"accuracy": 0.9}, extra={"params": 17})
     text = p.read_text()
     assert "accuracy" in text and "17" in text
+
+
+def test_trace_summary_parses():
+    """summarize_trace parses a profiler capture without error (device-op
+    rows only exist on TPU; on CPU the totals are simply zero)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medical_image_classification_tpu.utils import profiling
+
+    with profiling.trace("/tmp/mic_trace_test"):
+        jax.jit(lambda a: jnp.sin(a) @ a.T)(jnp.ones((64, 64))).block_until_ready()
+    s = profiling.summarize_trace("/tmp/mic_trace_test")
+    assert set(s) == {"total_ms", "by_category", "by_source", "by_op"}
+    assert s["total_ms"] >= 0.0
