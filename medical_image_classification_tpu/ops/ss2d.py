@@ -121,13 +121,17 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         x2 = jnp.stack([x_row, x_col], axis=1)           # [B, 2, L, D]
         # reference direction order k = rev*2 + layout  (0=row, 1=col,
         # 2=row-reversed, 3=col-reversed)
+        # r-MAJOR einsum outputs: the per-r slices below then merge (b, j)
+        # over CONTIGUOUS axes, so the [B*2, L, *] kernel operands are
+        # reshape-only views (b-major outputs needed a real copy per slice
+        # — visible as 'data formatting' time in the step trace)
         Wp = x_proj_w.reshape(2, 2, -1, D)
-        x_dbl = jnp.einsum("bjld,rjcd->brjlc", x2, Wp)   # [B, 2, 2, L, C]
+        x_dbl = jnp.einsum("bjld,rjcd->rbjlc", x2, Wp)   # [2, B, 2, L, C]
         dts4 = x_dbl[..., :dt_rank]
         Bm4 = x_dbl[..., dt_rank:dt_rank + N]
         Cm4 = x_dbl[..., dt_rank + N:]
         dtw = dt_proj_w.reshape(2, 2, D, dt_rank)
-        dts4 = jnp.einsum("brjlq,rjdq->brjld", dts4, dtw)
+        dts4 = jnp.einsum("rbjlq,rjdq->rbjld", dts4, dtw)
 
         A2 = -jnp.exp(A_log.astype(jnp.float32)).reshape(2, 2, D, N)
         D2 = Ds.astype(jnp.float32).reshape(2, 2, D)
@@ -138,9 +142,9 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         def scan_pair(r, reverse):
             return selective_scan_pallas_folded(
                 u_f,
-                dts4[:, r].reshape(Bb * 2, L, D).astype(dt_c), A2[r],
-                Bm4[:, r].reshape(Bb * 2, L, N).astype(dt_c),
-                Cm4[:, r].reshape(Bb * 2, L, N).astype(dt_c),
+                dts4[r].reshape(Bb * 2, L, D).astype(dt_c), A2[r],
+                Bm4[r].reshape(Bb * 2, L, N).astype(dt_c),
+                Cm4[r].reshape(Bb * 2, L, N).astype(dt_c),
                 D2[r], b2[r], reverse=reverse).reshape(Bb, 2, L, D)
 
         y_f = scan_pair(0, False)                        # dirs 0 (row), 1 (col)
