@@ -105,8 +105,11 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         dt_f = jnp.where(inb, dt_f, 0.0)
         sig_f = jnp.where(inb, sig_f, 0.0)
     A = A_ref[0].astype(jnp.float32)                        # [N, Dt]
-    Bv_f = B_ref[0].astype(jnp.float32)                     # [T, N]
-    Cv_f = C_ref[0].astype(jnp.float32)
+    # B/C arrive L-minor ([N, T]) — see the forward kernel note; dB/dC are
+    # also written L-minor so neither direction pays the 8x lane-padded
+    # [.., L, 16] relayout
+    Bv_f = B_ref[0, 0].astype(jnp.float32).T                # [T, N]
+    Cv_f = C_ref[0, 0].astype(jnp.float32).T
     dy_f = dy_ref[0].astype(jnp.float32)
     x_in = xin_ref[0, 0].astype(jnp.float32)                # [N, Dt]
     Dsk = Dskip_ref[0].astype(jnp.float32)                  # [1, Dt]
@@ -214,21 +217,21 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     du_ref[0] = du.astype(du_ref.dtype)
     ddelta_ref[0] = ddelta.astype(ddelta_ref.dtype)
 
-    dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2)  # [T, N]
-    dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2)
+    dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2).T  # [N, T]
+    dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2).T
     dA_acc[dtile] += jnp.sum(g_ax * dt_f[:, None, :], axis=0)
     dbias_acc[dtile, 0] += jnp.sum(ddelta, axis=0)
     dD_acc[dtile, 0] += jnp.sum(dy_f * u_f, axis=0)
 
     @pl.when(dtile == 0)
     def _():
-        dB_ref[0] = dB_blk
-        dC_ref[0] = dC_blk
+        dB_ref[0, 0] = dB_blk
+        dC_ref[0, 0] = dC_blk
 
     @pl.when(dtile != 0)
     def _():
-        dB_ref[0] += dB_blk
-        dC_ref[0] += dC_blk
+        dB_ref[0, 0] += dB_blk
+        dC_ref[0, 0] += dC_blk
 
     dA_ref[0] = dA_acc[dtile]
     dbias_ref[0, 0] = dbias_acc[dtile, 0]
@@ -242,12 +245,16 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     K, _, N = A.shape
     nD = Dm // Dt
     pad = (-L) % T
+    # L-minor B/C in, L-minor dB/dC out (free bitcasts at the XLA level —
+    # the projection outputs/consumers are L-minor already)
+    Bt = jnp.swapaxes(B, 1, 2)                           # [G, N, L]
+    Ct = jnp.swapaxes(C, 1, 2)
     if pad:
         zpad = ((0, 0), (0, pad), (0, 0))
         u = jnp.pad(u, zpad)
         delta = jnp.pad(delta, zpad)
-        B = jnp.pad(B, zpad)
-        C = jnp.pad(C, zpad)
+        Bt = jnp.pad(Bt, ((0, 0), (0, 0), (0, pad)))
+        Ct = jnp.pad(Ct, ((0, 0), (0, 0), (0, pad)))
         dy = jnp.pad(dy, zpad)
     Lp = L + pad
     nT = Lp // T
@@ -269,9 +276,9 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N, Dt), lambda g, l, d: (g % K, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+        pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+        pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
                      memory_space=pltpu.VMEM),
@@ -282,8 +289,13 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :],
-                xsave, dy]
+    def _lblock(v):
+        # [G, N, Lp] -> [G, nT, N, T] (see the forward wrapper: Mosaic lane
+        # blocks must be 128-multiples or whole extents)
+        return jnp.swapaxes(v.reshape(G, N, nT, T), 1, 2)
+
+    operands = [u, delta, At, _lblock(Bt), _lblock(Ct),
+                bias[:, None, :], Dskip[:, None, :], xsave, dy]
     if dlast is not None:
         in_specs.append(pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
                                      memory_space=pltpu.VMEM))
@@ -297,9 +309,9 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+            pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+            pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
                          memory_space=pltpu.VMEM),
@@ -311,8 +323,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         out_shape=[
             jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
             jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
-            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
-            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, nT, N, T), jnp.float32),
+            jax.ShapeDtypeStruct((G, nT, N, T), jnp.float32),
             jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
@@ -337,8 +349,12 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     du, ddelta, dB, dC, dA_part, dbias_part, dD_part = outs
     du = du[:, :L]
     ddelta = ddelta[:, :L]
-    dB = dB[:, :L]
-    dC = dC[:, :L]
+    def _unblock(v):                                     # [G,nT,N,T]->[G,L,N]
+        v = jnp.swapaxes(v, 1, 2).reshape(G, N, Lp)[:, :, :L]
+        return jnp.swapaxes(v, 1, 2)
+
+    dB = _unblock(dB)
+    dC = _unblock(dC)
     batch = G // K
     dA = jnp.swapaxes(dA_part.reshape(batch, K, N, Dm).sum(0), 1, 2)
     dbias = dbias_part.reshape(batch, K, Dm).sum(0)
