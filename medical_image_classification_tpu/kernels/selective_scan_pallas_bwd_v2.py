@@ -23,6 +23,13 @@ except Exception:  # pragma: no cover
 _INTERPRET = False
 # see selective_scan_pallas_v2._DIM0_SEMANTICS
 _DIM0_SEMANTICS = "parallel"
+# route the dB/dC lane reductions through the (otherwise idle) MXU as
+# ones-matmuls, hoping they overlap the VPU passes.  MEASURED SLOWER on
+# v5e (within-process A/B: s0 fwd+bwd 18.1 vs 16.4 ms, s1 7.25 vs 6.9 —
+# the matmul serialises behind the product materialisation and its
+# launch overhead dominates at [T*N, Dt] sizes), so the VPU shuffle
+# reduce stays the default; kept as a flag for future hardware.
+_MXU_DBDC = False
 
 
 def _block_prefix(tot_a, tot_b, nb):
@@ -217,8 +224,22 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     du_ref[0] = du.astype(du_ref.dtype)
     ddelta_ref[0] = ddelta.astype(ddelta_ref.dtype)
 
-    dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2).T  # [N, T]
-    dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2).T
+    if _MXU_DBDC:
+        # lane reduction as a ones-matmul: [T*N, Dt] @ [Dt, 8] runs on the
+        # MXU (elsewhere idle in this kernel) and pipelines under the VPU
+        # passes; only column 0 is meaningful
+        ones8 = jnp.ones((Dt, 8), jnp.float32)
+
+        def _lane_sum(P):                                   # [T,N,Dt]->[N,T]
+            col = jnp.dot(P.reshape(T * N, Dt), ones8,
+                          preferred_element_type=jnp.float32)
+            return col.reshape(T, N, 8)[:, :, 0].T
+
+        dB_blk = _lane_sum(g * (dt_f * u_f)[:, None, :])    # [N, T]
+        dC_blk = _lane_sum(dy_f[:, None, :] * x)
+    else:
+        dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2).T
+        dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2).T
     dA_acc[dtile] += jnp.sum(g_ax * dt_f[:, None, :], axis=0)
     dbias_acc[dtile, 0] += jnp.sum(ddelta, axis=0)
     dD_acc[dtile, 0] += jnp.sum(dy_f * u_f, axis=0)
