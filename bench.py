@@ -96,8 +96,9 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int):
         batch, size, size, channels), jnp.float32)
     xb = jnp.asarray(np.random.RandomState(1).rand(
         batch, size, size, channels), jnp.float32)
-    variables = model.init({"params": rng, "dropout": rng}, xa, xb,
-                           train=False)
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, xa, xb)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
 

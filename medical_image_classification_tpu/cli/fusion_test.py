@@ -29,8 +29,9 @@ def main(args):
     model = FusionVFEFM(single_decoder=args.single_decoder,
                         d_state=args.d_state, cat_method=args.cat_method)
     x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, x0,
-                           train=False)
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, x0, x0)
     params = variables["params"]
     if args.weights:
         params = load_params_only(args.weights, params)

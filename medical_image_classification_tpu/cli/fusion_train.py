@@ -65,8 +65,9 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed)
     x0 = jnp.zeros((args.batch_size, args.image_size, args.image_size,
                     channels))
-    variables = model.init({"params": rng, "dropout": rng}, x0, x0,
-                           train=False)
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, x0, x0)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
     opt_state = tx.init(params)

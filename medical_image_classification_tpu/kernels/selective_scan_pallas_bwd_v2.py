@@ -23,13 +23,6 @@ except Exception:  # pragma: no cover
 _INTERPRET = False
 # see selective_scan_pallas_v2._DIM0_SEMANTICS
 _DIM0_SEMANTICS = "parallel"
-# route the dB/dC lane reductions through the (otherwise idle) MXU as
-# ones-matmuls, hoping they overlap the VPU passes.  MEASURED SLOWER on
-# v5e (within-process A/B: s0 fwd+bwd 18.1 vs 16.4 ms, s1 7.25 vs 6.9 —
-# the matmul serialises behind the product materialisation and its
-# launch overhead dominates at [T*N, Dt] sizes), so the VPU shuffle
-# reduce stays the default; kept as a flag for future hardware.
-_MXU_DBDC = False
 
 
 def _block_prefix(tot_a, tot_b, nb):
@@ -112,11 +105,10 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         dt_f = jnp.where(inb, dt_f, 0.0)
         sig_f = jnp.where(inb, sig_f, 0.0)
     A = A_ref[0].astype(jnp.float32)                        # [N, Dt]
-    # B/C arrive L-minor ([N, T]) — see the forward kernel note; dB/dC are
-    # also written L-minor so neither direction pays the 8x lane-padded
-    # [.., L, 16] relayout
-    Bv_f = B_ref[0, 0].astype(jnp.float32).T                # [T, N]
-    Cv_f = C_ref[0, 0].astype(jnp.float32).T
+    # [T, N] operands (see the forward kernel note: in-kernel [N, T] -> [T, N]
+    # transposes measured slower than XLA's padded relayout copies)
+    Bv_f = B_ref[0].astype(jnp.float32)                     # [T, N]
+    Cv_f = C_ref[0].astype(jnp.float32)
     dy_f = dy_ref[0].astype(jnp.float32)
     x_in = xin_ref[0, 0].astype(jnp.float32)                # [N, Dt]
     Dsk = Dskip_ref[0].astype(jnp.float32)                  # [1, Dt]
@@ -224,35 +216,24 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     du_ref[0] = du.astype(du_ref.dtype)
     ddelta_ref[0] = ddelta.astype(ddelta_ref.dtype)
 
-    if _MXU_DBDC:
-        # lane reduction as a ones-matmul: [T*N, Dt] @ [Dt, 8] runs on the
-        # MXU (elsewhere idle in this kernel) and pipelines under the VPU
-        # passes; only column 0 is meaningful
-        ones8 = jnp.ones((Dt, 8), jnp.float32)
-
-        def _lane_sum(P):                                   # [T,N,Dt]->[N,T]
-            col = jnp.dot(P.reshape(T * N, Dt), ones8,
-                          preferred_element_type=jnp.float32)
-            return col.reshape(T, N, 8)[:, :, 0].T
-
-        dB_blk = _lane_sum(g * (dt_f * u_f)[:, None, :])    # [N, T]
-        dC_blk = _lane_sum(dy_f[:, None, :] * x)
-    else:
-        dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2).T
-        dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2).T
+    # NB a dB/dC lane-reduce via MXU ones-matmul was tried and measured
+    # slower (s0 fwd+bwd 18.1 vs 16.4 ms): the matmul serialises behind the
+    # product materialisation instead of overlapping the VPU passes.
+    dB_blk = jnp.sum(g * (dt_f * u_f)[:, None, :], axis=2)  # [T, N]
+    dC_blk = jnp.sum(dy_f[:, None, :] * x, axis=2)
     dA_acc[dtile] += jnp.sum(g_ax * dt_f[:, None, :], axis=0)
     dbias_acc[dtile, 0] += jnp.sum(ddelta, axis=0)
     dD_acc[dtile, 0] += jnp.sum(dy_f * u_f, axis=0)
 
     @pl.when(dtile == 0)
     def _():
-        dB_ref[0, 0] = dB_blk
-        dC_ref[0, 0] = dC_blk
+        dB_ref[0] = dB_blk
+        dC_ref[0] = dC_blk
 
     @pl.when(dtile != 0)
     def _():
-        dB_ref[0, 0] += dB_blk
-        dC_ref[0, 0] += dC_blk
+        dB_ref[0] += dB_blk
+        dC_ref[0] += dC_blk
 
     dA_ref[0] = dA_acc[dtile]
     dbias_ref[0, 0] = dbias_acc[dtile, 0]
@@ -266,16 +247,12 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     K, _, N = A.shape
     nD = Dm // Dt
     pad = (-L) % T
-    # L-minor B/C in, L-minor dB/dC out (free bitcasts at the XLA level —
-    # the projection outputs/consumers are L-minor already)
-    Bt = jnp.swapaxes(B, 1, 2)                           # [G, N, L]
-    Ct = jnp.swapaxes(C, 1, 2)
     if pad:
         zpad = ((0, 0), (0, pad), (0, 0))
         u = jnp.pad(u, zpad)
         delta = jnp.pad(delta, zpad)
-        Bt = jnp.pad(Bt, ((0, 0), (0, 0), (0, pad)))
-        Ct = jnp.pad(Ct, ((0, 0), (0, 0), (0, pad)))
+        B = jnp.pad(B, zpad)
+        C = jnp.pad(C, zpad)
         dy = jnp.pad(dy, zpad)
     Lp = L + pad
     nT = Lp // T
@@ -297,9 +274,9 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N, Dt), lambda g, l, d: (g % K, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g % K, 0, d),
                      memory_space=pltpu.VMEM),
@@ -310,13 +287,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                      memory_space=pltpu.VMEM),
     ]
-    def _lblock(v):
-        # [G, N, Lp] -> [G, nT, N, T] (see the forward wrapper: Mosaic lane
-        # blocks must be 128-multiples or whole extents)
-        return jnp.swapaxes(v.reshape(G, N, nT, T), 1, 2)
-
-    operands = [u, delta, At, _lblock(Bt), _lblock(Ct),
-                bias[:, None, :], Dskip[:, None, :], xsave, dy]
+    operands = [u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :],
+                xsave, dy]
     if dlast is not None:
         in_specs.append(pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
                                      memory_space=pltpu.VMEM))
@@ -330,9 +302,9 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
+            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, T), lambda g, l, d: (g, rev(l), 0, 0),
+            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
                          memory_space=pltpu.VMEM),
@@ -344,8 +316,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         out_shape=[
             jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
             jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
-            jax.ShapeDtypeStruct((G, nT, N, T), jnp.float32),
-            jax.ShapeDtypeStruct((G, nT, N, T), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
             jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
@@ -370,12 +342,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     du, ddelta, dB, dC, dA_part, dbias_part, dD_part = outs
     du = du[:, :L]
     ddelta = ddelta[:, :L]
-    def _unblock(v):                                     # [G,nT,N,T]->[G,L,N]
-        v = jnp.swapaxes(v, 1, 2).reshape(G, N, Lp)[:, :, :L]
-        return jnp.swapaxes(v, 1, 2)
-
-    dB = _unblock(dB)
-    dC = _unblock(dC)
+    dB = dB[:, :L]
+    dC = dC[:, :L]
     batch = G // K
     dA = jnp.swapaxes(dA_part.reshape(batch, K, N, Dm).sum(0), 1, 2)
     dbias = dbias_part.reshape(batch, K, Dm).sum(0)

@@ -70,12 +70,15 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         pos = ci * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         dt = jnp.where(pos < L_total, dt, 0.0)
     A = A_ref[0].astype(jnp.float32)                    # [N, Dt]
-    # B/C arrive L-minor ([N, T] blocks): XLA already lays the projection
-    # outputs out L-minor, and an N-minor operand would force an 8x lane-
-    # padded relayout copy ([.., L, 16] tiles pad 16 -> 128).  The tiny
-    # [N, T] -> [T, N] transpose here is 1/Dt of the kernel's data.
-    Bv = B_ref[0, 0].astype(jnp.float32).T              # [T, N]
-    Cv = C_ref[0, 0].astype(jnp.float32).T
+    # B/C arrive as [T, N] blocks (N-minor).  XLA pays an 8x lane-padded
+    # relayout copy to produce this from the L-minor projection outputs
+    # (~4 ms/step visible as 'data formatting'), but the L-minor
+    # alternative — [N, T] operands transposed IN-kernel — measured far
+    # worse: Mosaic lowers the per-chunk [N, T] -> [T, N] transpose to
+    # serialized lane shuffles on the critical path (s0 fwd+bwd 12.9 ->
+    # 16.4 ms, whole step 449 -> 399 img/s).  Measured A/B on v5e r2.
+    Bv = B_ref[0].astype(jnp.float32)                   # [T, N]
+    Cv = C_ref[0].astype(jnp.float32)
 
     nb = T // S
     N, Dt = A.shape
@@ -145,24 +148,13 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
     nD = Dm // Dt
     At = jnp.swapaxes(A, 1, 2)
 
-    # L-minor B/C (see kernel note): swapaxes of the L-minor-layout einsum
-    # outputs is a free bitcast under XLA layout assignment
-    Bt = jnp.swapaxes(B, 1, 2)                           # [G, N, L]
-    Ct = jnp.swapaxes(C, 1, 2)
     pad = (-L) % T
     if pad:
         u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
         delta = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
-        Bt = jnp.pad(Bt, ((0, 0), (0, 0), (0, pad)))
-        Ct = jnp.pad(Ct, ((0, 0), (0, 0), (0, pad)))
+        B = jnp.pad(B, ((0, 0), (0, pad), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
     Lp = L + pad
-
-    def _lblock(v):
-        # [G, N, Lp] -> [G, nT, N, T]: Mosaic only blocks the lane dim in
-        # 128-multiples OR whole-array extents, so pre-block the L axis and
-        # hand the kernel whole [N, T] tiles (unpadded ~0.1%-of-data copy,
-        # vs the 8x lane-padded relayout an N-minor operand would cost)
-        return jnp.swapaxes(v.reshape(G, N, Lp // T, T), 1, 2)
 
     nT = Lp // T
     grid = (G * nD, nT)
@@ -201,9 +193,9 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, T), lambda i, l: (seq(i), lmap(l), 0, 0),
+            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, T), lambda i, l: (seq(i), lmap(l), 0, 0),
+            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
                          memory_space=pltpu.VMEM),
@@ -218,8 +210,7 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
             # only the L-chunk walk (dim 1) is order-dependent (state carry)
             dimension_semantics=(_DIM0_SEMANTICS, "arbitrary")),
         interpret=_INTERPRET,
-    )(u, delta, At, _lblock(Bt), _lblock(Ct),
-      bias[:, None, :], Dskip[:, None, :])
+    )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
     if want_state:
         y, xsave, last = outs
         return y[:, :L], xsave, last

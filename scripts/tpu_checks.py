@@ -70,7 +70,8 @@ def check_model_grads():
     def grads(impl):
         model = create_model("medmamba", num_classes=4, scan_impl=impl, **kw)
         x = normalize_batch(jnp.asarray(imgs))
-        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False))(
+            jax.random.PRNGKey(0), x)
         other = {k: w for k, w in v.items()
                  if k not in ("params", "perturbations")}
 
