@@ -69,7 +69,7 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         dlast_ref = refs[0]
         refs = refs[1:]
     (du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref, dD_ref,
-     g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr) = refs
+     g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr, dB_acc, dC_acc) = refs
     lidx = pl.program_id(1)
     dtile = pl.program_id(2)
     first = lidx == 0
@@ -225,15 +225,26 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     dbias_acc[dtile, 0] += jnp.sum(ddelta, axis=0)
     dD_acc[dtile, 0] += jnp.sum(dy_f * u_f, axis=0)
 
+    # dB/dC accumulate over d-tiles in fp32 VMEM scratch; ONE write to the
+    # output ref in the OUTPUT dtype at the last d-tile (bf16 in bf16
+    # training: halves the two [G, L, N] stores and kills the downstream
+    # fp32->bf16 convert pass that showed up in the step trace)
+    nD_total = pl.num_programs(2)
+
     @pl.when(dtile == 0)
     def _():
-        dB_ref[0] = dB_blk
-        dC_ref[0] = dC_blk
+        dB_acc[...] = dB_blk
+        dC_acc[...] = dC_blk
 
     @pl.when(dtile != 0)
     def _():
-        dB_ref[0] += dB_blk
-        dC_ref[0] += dC_blk
+        dB_acc[...] += dB_blk
+        dC_acc[...] += dC_blk
+
+    @pl.when(dtile == nD_total - 1)
+    def _():
+        dB_ref[0] = dB_acc[...].astype(dB_ref.dtype)
+        dC_ref[0] = dC_acc[...].astype(dC_ref.dtype)
 
     dA_ref[0] = dA_acc[dtile]
     dbias_ref[0, 0] = dbias_acc[dtile, 0]
@@ -316,8 +327,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         out_shape=[
             jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
             jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
-            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
-            jax.ShapeDtypeStruct((G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, N), B.dtype),
+            jax.ShapeDtypeStruct((G, Lp, N), C.dtype),
             jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
@@ -329,6 +340,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
             pltpu.VMEM((nD, 1, Dt), jnp.float32),            # dD acc
             pltpu.VMEM((nb, S, N, Dt), jnp.float32),         # x rows
             pltpu.VMEM((nb, S, N, Dt), jnp.float32),         # g rows
+            pltpu.VMEM((T, N), jnp.float32),                 # dB acc
+            pltpu.VMEM((T, N), jnp.float32),                 # dC acc
         ],
         compiler_params=pltpu.CompilerParams(
             # sequences (dim 0) are carry-free: scratch accumulators reset at

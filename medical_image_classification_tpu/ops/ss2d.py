@@ -118,46 +118,60 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
         N = d_state
         x_row = x.reshape(Bb, L, D)
         x_col = jnp.swapaxes(x, 1, 2).reshape(Bb, L, D)
-        x2 = jnp.stack([x_row, x_col], axis=1)           # [B, 2, L, D]
         # reference direction order k = rev*2 + layout  (0=row, 1=col,
         # 2=row-reversed, 3=col-reversed)
-        # r-MAJOR einsum outputs: the per-r slices below then merge (b, j)
-        # over CONTIGUOUS axes, so the [B*2, L, *] kernel operands are
-        # reshape-only views (b-major outputs needed a real copy per slice
-        # — visible as 'data formatting' time in the step trace)
+        # ONE clean 2-D matmul per layout j: [B*L, D] @ [D, 2D+4N] covering
+        # both r's Δ/B/C projections.  Earlier shapes (5-D einsums with tiny
+        # q/N minor dims) made XLA choose l-minor layouts for the fwd dots
+        # AND the dW grad dots, paying ~5ms/step of 5-D relayout copies (r2
+        # step trace); canonical 2-D matmuls need none.  The low-rank Δ
+        # projection (D -> q -> D) folds into one effective [D, D] weight —
+        # mathematically identical (associativity), negligible MXU FLOPs.
         Wp = x_proj_w.reshape(2, 2, -1, D)
-        x_dbl = jnp.einsum("bjld,rjcd->rbjlc", x2, Wp)   # [2, B, 2, L, C]
-        dts4 = x_dbl[..., :dt_rank]
-        Bm4 = x_dbl[..., dt_rank:dt_rank + N]
-        Cm4 = x_dbl[..., dt_rank + N:]
-        dtw = dt_proj_w.reshape(2, 2, D, dt_rank)
-        dts4 = jnp.einsum("rbjlq,rjdq->rbjld", dts4, dtw)
+        Wq = Wp[:, :, :dt_rank]                          # [r, j, q, D]
+        Wb = Wp[:, :, dt_rank:dt_rank + N]
+        Wc = Wp[:, :, dt_rank + N:]
+        dtw = dt_proj_w.reshape(2, 2, D, dt_rank)        # [r, j, e, q]
+        Weff = jnp.einsum("rjqd,rjeq->rjde", Wq, dtw)    # [r, j, D, D] fp32
+        dt_c = x.dtype                                   # bf16 halves HBM IO
+
+        def proj(xj, j):
+            # column order: [Δ_r0 | Δ_r1 | B_r0 | C_r0 | B_r1 | C_r1]
+            Wall = jnp.concatenate(
+                [Weff[0, j], Weff[1, j],
+                 Wb[0, j].T, Wc[0, j].T, Wb[1, j].T, Wc[1, j].T], axis=1)
+            out = jnp.einsum("bld,dc->blc", xj, Wall).astype(dt_c)
+            dts = (out[..., :D], out[..., D:2 * D])
+            o = 2 * D
+            bc = [(out[..., o:o + N], out[..., o + N:o + 2 * N]),
+                  (out[..., o + 2 * N:o + 3 * N], out[..., o + 3 * N:])]
+            return dts, bc
 
         A2 = -jnp.exp(A_log.astype(jnp.float32)).reshape(2, 2, D, N)
         D2 = Ds.astype(jnp.float32).reshape(2, 2, D)
         b2 = dt_proj_b.astype(jnp.float32).reshape(2, 2, D)
-        dt_c = x.dtype                                   # bf16 halves HBM IO
-        u_f = x2.reshape(Bb * 2, L, D).astype(dt_c)      # shared fwd+rev
 
-        def scan_pair(r, reverse):
+        def scan_dir(xj, dts, Bm, Cm, r, j):
+            # single-direction call (K=1): operands are matmul outputs /
+            # activation views — zero stack/relayout glue
             return selective_scan_pallas_folded(
-                u_f,
-                dts4[r].reshape(Bb * 2, L, D).astype(dt_c), A2[r],
-                Bm4[r].reshape(Bb * 2, L, N).astype(dt_c),
-                Cm4[r].reshape(Bb * 2, L, N).astype(dt_c),
-                D2[r], b2[r], reverse=reverse).reshape(Bb, 2, L, D)
+                xj, dts, A2[r, j][None], Bm, Cm, D2[r, j][None],
+                b2[r, j][None], reverse=bool(r))
 
-        y_f = scan_pair(0, False)                        # dirs 0 (row), 1 (col)
-        y_r = scan_pair(1, True)                         # dirs 2, 3 (unflipped)
+        dts_row, bc_row = proj(x_row, 0)
+        dts_col, bc_col = proj(x_col, 1)
+        y00 = scan_dir(x_row, dts_row[0], *bc_row[0], 0, 0)   # dir 0
+        y01 = scan_dir(x_col, dts_col[0], *bc_col[0], 0, 1)   # dir 1
+        y10 = scan_dir(x_row, dts_row[1], *bc_row[1], 1, 0)   # dir 2 (rev)
+        y11 = scan_dir(x_col, dts_col[1], *bc_col[1], 1, 1)   # dir 3 (rev)
 
         def un_col(yc):                                  # [B, L, D] col->row
             return jnp.swapaxes(yc.reshape(Bb, W, H, D), 1, 2).reshape(Bb, L, D)
 
         if merge:
-            y = y_f[:, 0] + y_r[:, 0] + un_col(y_f[:, 1] + y_r[:, 1])
+            y = y00 + y10 + un_col(y01 + y11)
             return y.reshape(Bb, H, W, D)
-        return jnp.stack([y_f[:, 0], un_col(y_f[:, 1]),
-                          y_r[:, 0], un_col(y_r[:, 1])], axis=1)
+        return jnp.stack([y00, un_col(y01), y10, un_col(y11)], axis=1)
 
     xs = cross_scan(x)                                   # [B, 4, L, D]
     x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
