@@ -141,24 +141,26 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         ah_at = lambda s: a[:, s + 1] if s < S - 1 else edge
 
     # ---- state recompute (two-level; prefix for fwd scans, suffix for
-    # reverse scans, seeded from the saved incoming chunk state) ----
+    # reverse scans, seeded from the saved incoming chunk state).
+    # Pass 1 computes sub-block totals ONLY: the decay total needs no
+    # per-element running product (prod_s exp(dt_s A) = exp((sum_s dt_s) A),
+    # one small [nb, N, Dt] exp); pass 2 below re-scans seeded from e_b and
+    # emits final rows directly — one less VPU op per element than the old
+    # local-state + running-decay correction, and no S-entry dicts of
+    # [nb, N, Dt] intermediates competing for VMEM.
+    dt4s = dt_f.reshape(nb, S, Dt)
     x_order = list(range(S - 1, -1, -1)) if reverse else list(range(S))
     s0 = x_order[0]
-    acc_a = a[:, s0]
     acc_b = b[:, s0]
-    xloc = {s0: acc_b}
-    aruns = {s0: acc_a}
     for s in x_order[1:]:
         acc_b = a[:, s] * acc_b + b[:, s]
-        acc_a = a[:, s] * acc_a
-        xloc[s] = acc_b
-        aruns[s] = acc_a
+    tot_a = jnp.exp(jnp.sum(dt4s, axis=1)[:, None, :] * A[None])
     st = x_in[None]
     if reverse:
-        pa, pb = _block_suffix(acc_a, acc_b, nb)
+        pa, pb = _block_suffix(tot_a, acc_b, nb)
         e_b = jnp.concatenate([pb[1:] + pa[1:] * st, st], axis=0)
     else:
-        pa, pb = _block_prefix(acc_a, acc_b, nb)
+        pa, pb = _block_prefix(tot_a, acc_b, nb)
         e_b = jnp.concatenate([st, pb[:-1] + pa[:-1] * st], axis=0)
 
     # ---- adjoint (two-level, opposite direction to the forward scan) ----
@@ -166,15 +168,21 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     g_order = list(range(S)) if reverse else list(range(S - 1, -1, -1))
     t0 = g_order[0]
     gacc = d4[:, t0]
-    ga = ah_at(t0)
-    gloc = {t0: gacc}
-    gruns = {t0: ga}
     for s in g_order[1:]:
-        ahs = ah_at(s)
-        gacc = d4[:, s] + ahs * gacc
-        ga = ahs * ga
-        gloc[s] = gacc
-        gruns[s] = ga
+        gacc = d4[:, s] + ah_at(s) * gacc
+    # adjoint-decay block total = prod of NEIGHBOUR a's over the block —
+    # again one exp of a shifted-window dt sum instead of a running product.
+    # Window: all in-block neighbour positions plus the first element of the
+    # next block in adjoint order (0 at the chunk-edge block, where the
+    # multiplier is 1 because the cross-chunk carry is pre-multiplied).
+    zrow = jnp.zeros_like(dt4s[:1, 0])
+    if reverse:
+        wsum = (jnp.sum(dt4s[:, :S - 1], axis=1)
+                + jnp.concatenate([zrow, dt4s[:-1, S - 1]], axis=0))
+    else:
+        wsum = (jnp.sum(dt4s[:, 1:], axis=1)
+                + jnp.concatenate([dt4s[1:, 0], zrow], axis=0))
+    ga = jnp.exp(wsum[:, None, :] * A[None])                # [nb, N, Dt]
     cin = g_carry[dtile][None]                              # [1, N, Dt]
     if reverse:
         sa, sb = _block_prefix(ga, gacc, nb)
@@ -190,14 +198,20 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     # plus the cross-chunk carry; g[:, s] = gloc[s] + gruns[s] * e_g
 
     # ---- materialise full x and g via scratch (normalises layouts:
-    # Mosaic cannot reduce over offset-layout slices of 4D values), then
-    # whole-chunk vectorised gradient expressions.  NB a fused per-block
-    # gradient loop was tried and measured SLOWER (stage2 fwd+bwd
-    # 2.95 -> 4.34 ms): 16 small [nb,N,Dt] passes vectorise worse than a
-    # few big [T,N,Dt] ones, and the per-s lane reductions add relayouts.
-    for s in range(S):
-        x_scr[:, s] = xloc[s] + aruns[s] * e_b              # [nb, N, Dt]
-        g_scr[:, s] = gloc[s] + gruns[s] * e_g
+    # Mosaic cannot reduce over offset-layout slices of 4D values) with
+    # SEEDED re-scans from the sub-block boundary values, then whole-chunk
+    # vectorised gradient expressions.  NB a fused per-block gradient loop
+    # was tried and measured SLOWER (stage2 fwd+bwd 2.95 -> 4.34 ms):
+    # 16 small [nb,N,Dt] passes vectorise worse than a few big [T,N,Dt]
+    # ones, and the per-s lane reductions add relayouts.
+    xv = e_b                                                # [nb, N, Dt]
+    for s in x_order:
+        xv = a[:, s] * xv + b[:, s]
+        x_scr[:, s] = xv
+    gv = e_g
+    for s in g_order:
+        gv = d4[:, s] + ah_at(s) * gv
+        g_scr[:, s] = gv
 
     x = x_scr[...].reshape(T, N, Dt)
     g = g_scr[...].reshape(T, N, Dt)

@@ -140,7 +140,10 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
             Wall = jnp.concatenate(
                 [Weff[0, j], Weff[1, j],
                  Wb[0, j].T, Wc[0, j].T, Wb[1, j].T, Wc[1, j].T], axis=1)
-            out = jnp.einsum("bld,dc->blc", xj, Wall).astype(dt_c)
+            # cast the (tiny) weight to the compute dtype: a bf16 x fp32
+            # einsum promotes to an fp32 MXU matmul (4-8x slower); the
+            # output is bf16 anyway, and the MXU accumulates in fp32
+            out = jnp.einsum("bld,dc->blc", xj, Wall.astype(dt_c)).astype(dt_c)
             dts = (out[..., :D], out[..., D:2 * D])
             o = 2 * D
             bc = [(out[..., o:o + N], out[..., o + N:o + 2 * N]),
