@@ -121,11 +121,8 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     a = a_flat.reshape(nb, S, N, Dt)
     b = b_flat.reshape(nb, S, N, Dt)
     C4 = Cv_f.reshape(nb, S, N)
-    B4 = Bv_f.reshape(nb, S, N)
     dy4 = dy_f.reshape(nb, S, Dt)
-    u4 = u_f.reshape(nb, S, Dt)
     dt4 = dt_f.reshape(nb, S, Dt)
-    sig4 = sig_f.reshape(nb, S, Dt)
 
     # adjoint multiplier â at block position s: a of the time-NEIGHBOUR
     # (t+1 for forward scans, t-1 for reverse ones); across block edges it
@@ -148,13 +145,12 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     # emits final rows directly — one less VPU op per element than the old
     # local-state + running-decay correction, and no S-entry dicts of
     # [nb, N, Dt] intermediates competing for VMEM.
-    dt4s = dt_f.reshape(nb, S, Dt)
     x_order = list(range(S - 1, -1, -1)) if reverse else list(range(S))
     s0 = x_order[0]
     acc_b = b[:, s0]
     for s in x_order[1:]:
         acc_b = a[:, s] * acc_b + b[:, s]
-    tot_a = jnp.exp(jnp.sum(dt4s, axis=1)[:, None, :] * A[None])
+    tot_a = jnp.exp(jnp.sum(dt4, axis=1)[:, None, :] * A[None])
     st = x_in[None]
     if reverse:
         pa, pb = _block_suffix(tot_a, acc_b, nb)
@@ -175,13 +171,13 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     # Window: all in-block neighbour positions plus the first element of the
     # next block in adjoint order (0 at the chunk-edge block, where the
     # multiplier is 1 because the cross-chunk carry is pre-multiplied).
-    zrow = jnp.zeros_like(dt4s[:1, 0])
+    zrow = jnp.zeros_like(dt4[:1, 0])
     if reverse:
-        wsum = (jnp.sum(dt4s[:, :S - 1], axis=1)
-                + jnp.concatenate([zrow, dt4s[:-1, S - 1]], axis=0))
+        wsum = (jnp.sum(dt4[:, :S - 1], axis=1)
+                + jnp.concatenate([zrow, dt4[:-1, S - 1]], axis=0))
     else:
-        wsum = (jnp.sum(dt4s[:, 1:], axis=1)
-                + jnp.concatenate([dt4s[1:, 0], zrow], axis=0))
+        wsum = (jnp.sum(dt4[:, 1:], axis=1)
+                + jnp.concatenate([dt4[1:, 0], zrow], axis=0))
     ga = jnp.exp(wsum[:, None, :] * A[None])                # [nb, N, Dt]
     cin = g_carry[dtile][None]                              # [1, N, Dt]
     if reverse:

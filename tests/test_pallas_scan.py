@@ -329,3 +329,76 @@ def test_pallas_generic_z_and_last_state():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(last).reshape(last_ref.shape),
                                np.asarray(last_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---- multi-d-tile (nD > 1) gradient parity --------------------------------
+# Dm=768 -> Dt=384, nD=2: the ONLY shape class where the bwd kernel's
+# dB/dC cross-d-tile accumulation (fp32 VMEM scratch, deferred last-tile
+# store) executes its dtile != 0 branches.  Production stage 3 runs this
+# (L=49, Dm=768); every other grad test has nD == 1.
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_grads_multi_dtile(monkeypatch, reverse):
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_bwd_v2 as bwd2
+    monkeypatch.setattr(bwd2, "_INTERPRET", True)
+    monkeypatch.setattr(ssp, "_BWD_IMPL", "pallas")
+    assert ssp._choose_tiles(49, 768, 16)[1] == 384      # nD == 2
+    rng = jax.random.PRNGKey(29)
+    u, delta, A, B, C, D, bias = _make(rng, 1, 2, 49, 768, 16)
+    args = (u, delta, A, B, C, D, bias)
+
+    def loss(fn):
+        return lambda a: jnp.sum(jnp.sin(fn(*a, reverse=reverse)))
+
+    g_pallas = jax.grad(loss(ssp.selective_scan_pallas_folded))(args)
+    g_ref = jax.grad(loss(ssp._xla_equivalent))(args)
+    for gp, gr, nm in zip(g_pallas, g_ref, "u delta A B C D bias".split()):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+# ---- flip-free SS2D path (TPU-gated in production) -------------------------
+# The four-single-direction-kernel projection/scan path in ops/ss2d.py is
+# gated on jax.default_backend() == "tpu", so the hermetic CPU suite never
+# exercises it through the models.  Force it on in interpret mode and check
+# output + all gradients against the trusted XLA cross-scan path.
+
+@pytest.mark.parametrize("merge", [True, False])
+def test_ss2d_flipfree_path_matches_xla(monkeypatch, merge):
+    from medical_image_classification_tpu.ops.ss2d import ss2d_core_mamba1
+    monkeypatch.setattr(ssp, "_INTERPRET", True)
+    monkeypatch.setattr(
+        ssp, "pallas_folded_supported",
+        lambda L, Dm, N: ssp._choose_tiles(L, Dm, N) is not None)
+    ks = jax.random.split(jax.random.PRNGKey(31), 6)
+    Bb, H, W, Dm, N, q = 2, 14, 14, 32, 8, 4
+    x = jax.random.normal(ks[0], (Bb, H, W, Dm))
+    xw = 0.3 * jax.random.normal(ks[1], (4, q + 2 * N, Dm))
+    dtw = 0.3 * jax.random.normal(ks[2], (4, Dm, q))
+    dtb = 0.1 * jax.random.normal(ks[3], (4, Dm))
+    A_log = jax.random.normal(ks[4], (4, Dm, N)) * 0.5
+    Ds = jax.random.normal(ks[5], (4, Dm))
+
+    def run(impl, args):
+        x, xw, dtw, dtb, A_log, Ds = args
+        return ss2d_core_mamba1(x, xw, dtw, dtb, A_log, Ds, d_state=N,
+                                dt_rank=q, impl=impl, merge=merge)
+
+    args = (x, xw, dtw, dtb, A_log, Ds)
+    y_p = run("pallas", args)
+    y_x = run("xla", args)
+    assert y_p.shape == y_x.shape
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=2e-3, atol=2e-3)
+
+    loss = lambda impl: (lambda a: jnp.sum(jnp.sin(run(impl, a))))
+    g_p = jax.grad(loss("pallas"))(args)
+    g_x = jax.grad(loss("xla"))(args)
+    names = "x x_proj_w dt_proj_w dt_proj_b A_log Ds".split()
+    for gp, gr, nm in zip(g_p, g_x, names):
+        # weight grads sum over B*L with different matmul regroupings
+        # (folded-Weff vs two-stage low-rank): tolerance scales with the
+        # tensor's magnitude (entries reach O(1e2) here)
+        scale = float(np.max(np.abs(np.asarray(gr)))) + 1e-6
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=3e-3, atol=1e-4 * scale, err_msg=nm)
