@@ -24,15 +24,30 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _segsum(x):
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis as a triangular-ones matmul.
+
+    ``jnp.cumsum`` lowers to log-depth reduce-window chains on TPU —
+    measured ~4.5 ms/step fwd+bwd at MedSSD production shapes — while one
+    [T, T] 0/1 matmul is MXU-trivial and its adjoint is the transposed
+    matmul (another single dot instead of a reversed reduce-window chain).
+    """
+    T = x.shape[-1]
+    tri = jnp.triu(jnp.ones((T, T), x.dtype))        # tri[k, i] = 1 for k <= i
+    return jnp.einsum("...k,ki->...i", x, tri)
+
+
+def _segsum(x, xc=None):
     """Stable segment-sum: out[..., i, j] = sum_{j < k <= i} x[..., k].
 
     Lower-triangular (j <= i) entries are finite, the rest -inf, so that
     ``exp(segsum(x))`` is the causal decay matrix.  Differences of cumsums
-    keep everything bounded because x <= 0.
+    keep everything bounded because x <= 0.  ``xc`` lets callers share an
+    already-computed inclusive cumsum of ``x``.
     """
     T = x.shape[-1]
-    xc = jnp.cumsum(x, axis=-1)
+    if xc is None:
+        xc = _cumsum_last(x)
     seg = xc[..., :, None] - xc[..., None, :]
     mask = jnp.tril(jnp.ones((T, T), dtype=bool))
     return jnp.where(mask, seg, -jnp.inf)
@@ -85,16 +100,26 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     Cc = C.reshape(Bsz, nc, chunk_size, G, N)
 
     dtA = dtc * A.astype(acc_dtype)                      # [B, nc, l, H]  (<= 0)
-    A_cum = jnp.cumsum(dtA, axis=2)                      # [B, nc, l, H]
+    # ONE l-minor cumsum (MXU matmul, see _cumsum_last) shared by the decay
+    # matrix and all the chunk-level decay terms below
+    dtA_t = jnp.moveaxis(dtA, 3, 2)                      # [B, nc, H, l]
+    A_cum_t = _cumsum_last(dtA_t)                        # [B, nc, H, l]
+    A_cum = jnp.moveaxis(A_cum_t, 3, 2)                  # [B, nc, l, H]
 
     # weight dt into B (discretisation): dB_t = dt_t * B_t
     dtx = (xc.astype(acc_dtype) * dtc[..., None])        # [B, nc, l, H, P]
     dtx_r = dtx.reshape(Bsz, nc, chunk_size, G, rep, P)
+    # head-major copy feeds the chunk-state einsum (measured ~2 ms/step
+    # cheaper than the l-major orientation at MedSSD shapes); Y_diag below
+    # keeps the l-major orientation — the head-major variant of THAT dot
+    # measured ~3 ms slower plus a final transpose-back
+    dtx_h = jnp.moveaxis(dtx_r, 2, 4)                    # [B, nc, G, r, l, P]
+    Bc_h = jnp.moveaxis(Bc, 2, 3).astype(mm_dtype)       # [B, nc, G, l, N]
 
     # 1. intra-chunk (causal masked attention-like matmul).  Scores are
     # computed once per GROUP (the expensive N-contraction), then modulated
     # by the per-head decay matrix — `rep`x less MXU work than per-head.
-    Lmat = jnp.exp(_segsum(jnp.moveaxis(dtA, 3, 2)))     # [B, nc, H, l, l]
+    Lmat = jnp.exp(_segsum(dtA_t, xc=A_cum_t))           # [B, nc, H, l, l]
     Lmat_r = Lmat.reshape(Bsz, nc, G, rep, chunk_size, chunk_size)
     scores = jnp.einsum("bclgn,bcsgn->bcgls",
                         Cc.astype(mm_dtype), Bc.astype(mm_dtype),
@@ -106,10 +131,10 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
 
     # 2. per-chunk end states (decay folds into the P-sized operand, not the
     # N-sized one)
-    decay_to_end = jnp.exp(A_cum[:, :, -1:, :] - A_cum)  # [B, nc, l, H]
-    dtx_d = dtx * decay_to_end[..., None]
-    S = jnp.einsum("bclgn,bclgrp->bcgrpn", Bc.astype(mm_dtype),
-                   dtx_d.reshape(Bsz, nc, chunk_size, G, rep, P).astype(mm_dtype),
+    decay_to_end_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)   # [B, nc, H, l]
+    dtx_d_h = dtx_h * decay_to_end_t.reshape(
+        Bsz, nc, G, rep, chunk_size)[..., None]
+    S = jnp.einsum("bcgln,bcgrlp->bcgrpn", Bc_h, dtx_d_h.astype(mm_dtype),
                    preferred_element_type=acc_dtype)
     S = S.reshape(Bsz, nc, H, P, N)                      # [B, nc, H, P, N]
 
@@ -126,6 +151,12 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     S_carry = (jnp.zeros((Bsz, H, P, N), acc_dtype) if initial_state is None
                else initial_state.astype(acc_dtype))
 
+    # 3+4. inter-chunk recurrence with the incoming-state contribution fused
+    # into the walk.  Two measured dead ends at MedSSD shapes: (a) a
+    # log-depth associative_scan costs log2(nc) HBM passes over the ~64MB
+    # chunk states (~2x slower); (b) stacking S_in and batching the Y_off
+    # matmul after the walk adds a [B, nc, H, P, N] stack pass (~4 ms) while
+    # the in-walk dots were already overlapped (no win).
     def chunk_step(S_prev, inp):
         S_c, Cc_c, dec_c = inp
         # Y_off for this chunk from the INCOMING state (scalar decay
