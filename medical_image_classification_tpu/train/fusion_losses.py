@@ -16,20 +16,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5):
     x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
     g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    return jnp.outer(g, g)                       # [w, w]
+    return g / g.sum()
 
 
-def _filter2d(img, window):
-    """Depthwise VALID conv of NHWC img with a [w, w] window."""
+def _filter2d(img, win1d):
+    """Depthwise VALID Gaussian blur of NHWC img.
+
+    The outer-product window is SEPARABLE: two 1-D convs (2w taps) instead
+    of one w x w conv (w^2 taps) — the reference's torch F.conv2d pays the
+    dense window (`loss.py:38-44`); mathematically identical here, and the
+    2-D 11x11 depthwise conv was ~15 ms/step of the fusion train step on
+    v5e (6 filters x 5 MS-SSIM levels x fwd+bwd, measured r2 trace).
+    """
     c = img.shape[-1]
-    k = window[:, :, None, None]                 # HWIO with I=1
-    k = jnp.tile(k, (1, 1, 1, c))
+    kh = jnp.tile(win1d[:, None, None, None], (1, 1, 1, c))   # [w, 1, 1, c]
+    kv = jnp.tile(win1d[None, :, None, None], (1, 1, 1, c))   # [1, w, 1, c]
+    out = lax.conv_general_dilated(
+        img, kh, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
     return lax.conv_general_dilated(
-        img, k, window_strides=(1, 1), padding="VALID",
+        out, kv, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
@@ -42,7 +51,7 @@ def ssim(img1, img2, window_size: int = 11, val_range: float = None,
         L = val_range
     h, w = img1.shape[1], img1.shape[2]
     ws = min(window_size, h, w)
-    window = _gaussian_window(ws)
+    window = _gaussian_1d(ws)
     mu1 = _filter2d(img1, window)
     mu2 = _filter2d(img2, window)
     mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
