@@ -40,6 +40,10 @@ def main(args):
     log.info("%d pairs, %d steps/epoch", len(pairs), spe)
 
     kw = {}
+    if args.dtype == "bf16":
+        # compute-dtype override (params stay fp32; fused image fp32).  The
+        # reference anchor trains fp32, so fp32 remains the default.
+        kw["dtype"] = jnp.bfloat16
     if args.depths:
         kw["depths"] = tuple(int(v) for v in args.depths.split(","))
         kw["depths_decoder"] = kw["depths"][::-1]
@@ -132,6 +136,8 @@ if __name__ == "__main__":
     p.add_argument("--depths", default=None, help="comma ints, e.g. 2,2,4,2")
     p.add_argument("--dims", default=None, help="comma ints, e.g. 128,256,512,1024")
     p.add_argument("--headdim", type=int, default=None)
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="compute dtype (reference anchor: fp32)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--save-path", default="runs/fusion.ckpt")

@@ -106,9 +106,13 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     A_cum_t = _cumsum_last(dtA_t)                        # [B, nc, H, l]
     A_cum = jnp.moveaxis(A_cum_t, 3, 2)                  # [B, nc, l, H]
 
-    # weight dt into B (discretisation): dB_t = dt_t * B_t
-    dtx = (xc.astype(acc_dtype) * dtc[..., None])        # [B, nc, l, H, P]
-    dtx_r = dtx.reshape(Bsz, nc, chunk_size, G, rep, P)
+    # weight dt into B (discretisation): dB_t = dt_t * B_t.  The product is
+    # materialised ONCE in the matmul dtype (bf16 training: an fp32 dtx here
+    # was re-written to HBM three times — raw, head-major copy, decayed copy
+    # — and the elementwise passes over it scaled superlinearly with batch;
+    # measured s0 b32 fwd+bwd 42.0 -> see below)
+    dtx_r = ((xc * dtc.astype(mm_dtype)[..., None])
+             .reshape(Bsz, nc, chunk_size, G, rep, P))   # [B, nc, l, G, r, P]
     # head-major copy feeds the chunk-state einsum (measured ~2 ms/step
     # cheaper than the l-major orientation at MedSSD shapes); Y_diag below
     # keeps the l-major orientation — the head-major variant of THAT dot
@@ -119,65 +123,76 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     # 1. intra-chunk (causal masked attention-like matmul).  Scores are
     # computed once per GROUP (the expensive N-contraction), then modulated
     # by the per-head decay matrix — `rep`x less MXU work than per-head.
-    Lmat = jnp.exp(_segsum(dtA_t, xc=A_cum_t))           # [B, nc, H, l, l]
-    Lmat_r = Lmat.reshape(Bsz, nc, G, rep, chunk_size, chunk_size)
-    scores = jnp.einsum("bclgn,bcsgn->bcgls",
-                        Cc.astype(mm_dtype), Bc.astype(mm_dtype),
-                        preferred_element_type=acc_dtype)  # [B, nc, G, l, s]
-    M = (scores[:, :, :, None] * Lmat_r).astype(mm_dtype)
-    Y_diag = jnp.einsum("bcgrls,bcsgrp->bclgrp", M, dtx_r.astype(mm_dtype),
+    # Segment sums stay fp32 (differences of cumsums); every [l, l]-sized
+    # tensor downstream of the exp lives in mm_dtype (decays are in [0, 1],
+    # bf16-safe; the MXU accumulates fp32 regardless of operand dtype).
+    # remat: the masked-decay matrix M is [B, nc, H, l, l] — by far the
+    # largest intermediate (l^2).  Recomputing it in the bwd pass from the
+    # (small) inputs costs one extra group-level matmul + exp but removes
+    # the fwd->bwd residual round trip of two l^2 tensors.
+    @jax.checkpoint
+    def _y_diag(Cc_, Bc_, A_cum_t_, dtx_r_):
+        Lmat = jnp.exp(_segsum(dtA_t, xc=A_cum_t_)).astype(mm_dtype)
+        Lmat_r = Lmat.reshape(Bsz, nc, G, rep, chunk_size, chunk_size)
+        scores = jnp.einsum("bclgn,bcsgn->bcgls", Cc_, Bc_,
+                            preferred_element_type=mm_dtype)  # [B,nc,G,l,s]
+        M = scores[:, :, :, None] * Lmat_r
+        Yd = jnp.einsum("bcgrls,bcsgrp->bclgrp", M, dtx_r_,
                         preferred_element_type=acc_dtype)
-    Y_diag = Y_diag.reshape(Bsz, nc, chunk_size, H, P)
+        return Yd.reshape(Bsz, nc, chunk_size, H, P).astype(mm_dtype)
+
+    Y_diag = _y_diag(Cc.astype(mm_dtype), Bc.astype(mm_dtype), A_cum_t,
+                     dtx_r)
 
     # 2. per-chunk end states (decay folds into the P-sized operand, not the
     # N-sized one)
-    decay_to_end_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)   # [B, nc, H, l]
+    decay_to_end_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t).astype(mm_dtype)
     dtx_d_h = dtx_h * decay_to_end_t.reshape(
         Bsz, nc, G, rep, chunk_size)[..., None]
-    S = jnp.einsum("bcgln,bcgrlp->bcgrpn", Bc_h, dtx_d_h.astype(mm_dtype),
-                   preferred_element_type=acc_dtype)
-    S = S.reshape(Bsz, nc, H, P, N)                      # [B, nc, H, P, N]
+    S = jnp.einsum("bcgln,bcgrlp->bcgrpn", Bc_h, dtx_d_h,
+                   preferred_element_type=acc_dtype)     # [B, nc, G, r, P, N]
 
-    # 3+4. inter-chunk recurrence, with the incoming-state contribution
-    # fused into the walk.  The chunk state is HUGE ([B, H, P, N]; with the
-    # reference's d_state=128 x K quirk N=512 => ~64MB fp32 per state at
-    # MedSSD batch 16), so a log-depth ``associative_scan`` costs
-    # log2(nc) full HBM passes over the [B, nc, H, P, N] stack — measured
-    # ~2x slower than this single sequential pass, and materialising S_in
-    # is avoided entirely (Y_off comes out of the same walk).
     chunk_decay = jnp.exp(A_cum[:, :, -1, :])            # [B, nc, H]
-    decay_from_start = jnp.exp(A_cum)                    # [B, nc, l, H]
+    decay_from_start = jnp.exp(A_cum).astype(mm_dtype)   # [B, nc, l, H]
 
-    S_carry = (jnp.zeros((Bsz, H, P, N), acc_dtype) if initial_state is None
-               else initial_state.astype(acc_dtype))
+    # carry rides in the grouped orientation the Y_off dot wants — one
+    # reshape at entry/exit instead of one per chunk
+    S_carry = (jnp.zeros((Bsz, G, rep, P, N), acc_dtype)
+               if initial_state is None
+               else initial_state.astype(acc_dtype).reshape(
+                   Bsz, G, rep, P, N))
 
-    # 3+4. inter-chunk recurrence with the incoming-state contribution fused
-    # into the walk.  Two measured dead ends at MedSSD shapes: (a) a
-    # log-depth associative_scan costs log2(nc) HBM passes over the ~64MB
-    # chunk states (~2x slower); (b) stacking S_in and batching the Y_off
-    # matmul after the walk adds a [B, nc, H, P, N] stack pass (~4 ms) while
-    # the in-walk dots were already overlapped (no win).
+    # 3+4. inter-chunk recurrence.  The carry accumulates in fp32 (like the
+    # reference's Triton state pass); incoming states are staged in mm_dtype
+    # and the Y_off contraction runs as ONE batched einsum over all chunks —
+    # with fp32 states that stack was a measured dead end (+4 ms HBM pass),
+    # at bf16 it wins (s0 fwd 6.5 -> 5.6 ms) because the stack halves and
+    # the 13 latency-bound in-walk dots collapse into one MXU launch.  The
+    # log-depth associative_scan alternative stays ~2x slower (log2(nc)
+    # full passes over the ~64MB-per-state stack).
     def chunk_step(S_prev, inp):
         S_c, Cc_c, dec_c = inp
         # Y_off for this chunk from the INCOMING state (scalar decay
         # commutes out of the N-contraction: matmul first, then modulate)
         Y_off_c = jnp.einsum(
             "blgn,bgrpn->blgrp", Cc_c.astype(mm_dtype),
-            S_prev.reshape(Bsz, G, rep, P, N).astype(mm_dtype),
-            preferred_element_type=acc_dtype)
-        S_next = dec_c[..., None, None] * S_prev + S_c
+            S_prev.astype(mm_dtype),
+            preferred_element_type=mm_dtype)
+        S_next = dec_c.reshape(Bsz, G, rep, 1, 1) * S_prev + S_c
         return S_next, Y_off_c
 
-    xs_scan = (jnp.moveaxis(S, 1, 0), jnp.moveaxis(Cc, 1, 0),
-               jnp.moveaxis(chunk_decay, 1, 0))
-    if nc <= 32:        # unrolled: straight-line XLA, no stacking overhead
-        Y_offs = []
+    if nc <= 32:        # unrolled: straight-line XLA, no stacking overhead,
+        S_ins = []      # operands sliced in place (no [nc]-major moveaxis)
         for c in range(nc):
-            S_carry, Y_off_c = chunk_step(
-                S_carry, jax.tree_util.tree_map(lambda t: t[c], xs_scan))
-            Y_offs.append(Y_off_c)
-        Y_off = jnp.stack(Y_offs, axis=1)                # [B, nc, l, G, rep, P]
+            S_ins.append(S_carry.astype(mm_dtype))
+            S_carry = (chunk_decay[:, c].reshape(Bsz, G, rep, 1, 1) * S_carry
+                       + S[:, c])
+        S_in = jnp.stack(S_ins, axis=1)                  # [B, nc, G, r, P, N]
+        Y_off = jnp.einsum("bclgn,bcgrpn->bclgrp", Cc.astype(mm_dtype), S_in,
+                           preferred_element_type=mm_dtype)
     else:
+        xs_scan = (jnp.moveaxis(S, 1, 0), jnp.moveaxis(Cc, 1, 0),
+                   jnp.moveaxis(chunk_decay, 1, 0))
         S_carry, Y_offs = lax.scan(chunk_step, S_carry, xs_scan)
         Y_off = jnp.moveaxis(Y_offs, 0, 1)
     Y_off = (Y_off.reshape(Bsz, nc, chunk_size, H, P)
@@ -187,14 +202,14 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     if D is not None:
         xs = x.reshape(Bsz, Lp, H, P)[:, :L]
         if D.ndim == 1:                                  # per-head scalar D
-            y = y + xs.astype(acc_dtype) * D.astype(acc_dtype)[None, None, :, None]
+            y = y + xs * D.astype(mm_dtype)[None, None, :, None]
         else:
-            y = y + xs.astype(acc_dtype) * D.astype(acc_dtype)
+            y = y + xs * D.astype(mm_dtype)
     if z is not None:
-        y = y * jax.nn.silu(z.astype(acc_dtype))
+        y = y * jax.nn.silu(z.astype(mm_dtype))
     y = y.astype(out_dtype)
     if return_final_state:
-        return y, S_carry.astype(out_dtype)
+        return y, S_carry.reshape(Bsz, H, P, N).astype(out_dtype)
     return y
 
 

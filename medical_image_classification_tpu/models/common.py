@@ -101,13 +101,14 @@ class PatchExpand(nn.Module):
     Matches the reference convention: constructed with the *previous* stage
     dim `dim`, operates on inputs of 2*dim channels, emits dim channels."""
     dim_scale: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         s = self.dim_scale
         x = nn.Dense(s * c, use_bias=False, kernel_init=trunc_normal_02,
-                     name="expand")(x)
+                     dtype=self.dtype, name="expand")(x)
         cout = c // s
         x = x.reshape(b, h, w, s, s, cout)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h * s, w * s, cout)
@@ -118,13 +119,14 @@ class PatchExpand(nn.Module):
 class FinalPatchExpand(nn.Module):
     """x4 upsample for the fusion decoder head (`MedMamba.py:238-250`)."""
     dim_scale: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         s = self.dim_scale
         x = nn.Dense(s * c, use_bias=False, kernel_init=trunc_normal_02,
-                     name="expand")(x)
+                     dtype=self.dtype, name="expand")(x)
         cout = c // s
         x = x.reshape(b, h, w, s, s, cout)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h * s, w * s, cout)
@@ -195,7 +197,9 @@ class ECALayer(nn.Module):
         y = nn.Conv(1, kernel_size=(self.k_size,), padding="SAME",
                     use_bias=False, name="conv")(y[..., None])
         y = jax.nn.sigmoid(y[..., 0])
-        return x * y[:, None, None, :]
+        # gate in the activation dtype (the tiny conv runs fp32; without the
+        # cast a bf16 stream would silently promote to fp32 downstream)
+        return x * y.astype(x.dtype)[:, None, None, :]
 
 
 class MIFABlock(nn.Module):

@@ -54,6 +54,7 @@ class CrossMamba(nn.Module):
     dropout: float = 0.0
     conv_bias: bool = True
     bias: bool = False
+    dtype: object = None          # compute dtype (bf16 on TPU); params fp32
 
     @nn.compact
     def __call__(self, u1, u2, u2_cat_u1, u1_cat_u2, train: bool = False):
@@ -65,18 +66,22 @@ class CrossMamba(nn.Module):
 
         # shared projections (`CrossMamba_fusion_2b2.py:128-136`)
         skip_proj = nn.Dense(2 * d_inner - d_ssm, use_bias=self.bias,
-                             kernel_init=trunc_normal_02, name="skip_in_proj")
-        xs_proj = nn.Dense(d_ssm, use_bias=self.bias,
+                             kernel_init=trunc_normal_02, dtype=self.dtype,
+                             name="skip_in_proj")
+        xs_proj = nn.Dense(d_ssm, use_bias=self.bias, dtype=self.dtype,
                            kernel_init=trunc_normal_02, name="xs_in_proj")
         bcdt_proj = nn.Dense(2 * G * N + nheads, use_bias=self.bias,
-                             kernel_init=trunc_normal_02, name="BCdts_in_proj")
+                             kernel_init=trunc_normal_02, dtype=self.dtype,
+                             name="BCdts_in_proj")
         xs_conv = nn.Conv(d_ssm, (self.d_conv, self.d_conv), padding="SAME",
                           feature_group_count=d_ssm, use_bias=self.conv_bias,
-                          kernel_init=kaiming_conv, name="xs_conv2d")
+                          kernel_init=kaiming_conv, dtype=self.dtype,
+                          name="xs_conv2d")
         d_bc = 2 * G * N + nheads
         bcdt_conv = nn.Conv(d_bc, (self.d_conv, self.d_conv), padding="SAME",
                             feature_group_count=d_bc, use_bias=self.conv_bias,
-                            kernel_init=kaiming_conv, name="BCdts_conv2d")
+                            kernel_init=kaiming_conv, dtype=self.dtype,
+                            name="BCdts_conv2d")
 
         A_log = self.param("A_logs", a_log_init_uniform(), (K, nheads))
         dt_b = self.param("dt_bias", dt_bias_init(), (K, nheads))
@@ -84,7 +89,8 @@ class CrossMamba(nn.Module):
         norm_w = (self.param("norm_weight", nn.initializers.ones, (d_ssm,))
                   if self.rmsnorm else None)
         out_proj = nn.Dense(self.d_model, use_bias=self.bias,
-                            kernel_init=trunc_normal_02, name="out_proj")
+                            kernel_init=trunc_normal_02, dtype=self.dtype,
+                            name="out_proj")
         d_mlp = ((2 * d_inner - d_ssm) - d_ssm) // 2   # 0 when d_ssm == d_inner
 
         def branch(u_own, u_cross):
@@ -138,6 +144,7 @@ class DownLayer(nn.Module):
     ssd_headdim: int = 64         # regardless of the model-level d_state
     drop_paths: Sequence[float] = ()
     downsample: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -145,21 +152,22 @@ class DownLayer(nn.Module):
             dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
             x1 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
                              d_state=self.d_state, ssd_headdim=self.ssd_headdim,
-                             name=f"blocks1_{i}")(x1, train)
+                             dtype=self.dtype, name=f"blocks1_{i}")(x1, train)
             x2 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
                              d_state=self.d_state, ssd_headdim=self.ssd_headdim,
-                             name=f"blocks2_{i}")(x2, train)
-        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
+                             dtype=self.dtype, name=f"blocks2_{i}")(x2, train)
+        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                         dtype=self.dtype, name="cat_proj")
                 if self.cat_method == "stack" else None)
         c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
         f1, f2 = CrossMamba(d_model=self.dim, d_state=self.fusion_d_state,
-                            headdim=self.ssd_headdim,
+                            headdim=self.ssd_headdim, dtype=self.dtype,
                             name="fusion")(x1, x2, c1, c2, train=train)
         f1, f2 = x1 + f1, x2 + f2
         skip = (x1, x2)
         if self.downsample:
-            f1 = PatchMerging(name="downsample1")(f1)
-            f2 = PatchMerging(name="downsample2")(f2)
+            f1 = PatchMerging(dtype=self.dtype, name="downsample1")(f1)
+            f2 = PatchMerging(dtype=self.dtype, name="downsample2")(f2)
         return f1, f2, skip
 
 
@@ -175,30 +183,34 @@ class UpLayer(nn.Module):
     drop_paths: Sequence[float] = ()
     upsample: bool = True
     skip: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x1, x2, s1, s2, train: bool = False):
         if self.upsample:
-            x1 = PatchExpand(name="upsample1")(x1)
-            x2 = PatchExpand(name="upsample2")(x2)
+            x1 = PatchExpand(dtype=self.dtype, name="upsample1")(x1)
+            x2 = PatchExpand(dtype=self.dtype, name="upsample2")(x2)
         if self.skip:
             x1 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                          dtype=self.dtype,
                           name="in_proj1")(jnp.concatenate([x1, s1], axis=-1))
             x2 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                          dtype=self.dtype,
                           name="in_proj2")(jnp.concatenate([x2, s2], axis=-1))
         for i in range(self.depth):
             dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
             x1 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
                              d_state=self.d_state, ssd_headdim=self.ssd_headdim,
-                             name=f"blocks1_{i}")(x1, train)
+                             dtype=self.dtype, name=f"blocks1_{i}")(x1, train)
             x2 = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
                              d_state=self.d_state, ssd_headdim=self.ssd_headdim,
-                             name=f"blocks2_{i}")(x2, train)
-        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02, name="cat_proj")
+                             dtype=self.dtype, name=f"blocks2_{i}")(x2, train)
+        proj = (nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                         dtype=self.dtype, name="cat_proj")
                 if self.cat_method == "stack" else None)
         c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
         f1, f2 = CrossMamba(d_model=self.dim, d_state=self.fusion_d_state,
-                            headdim=self.ssd_headdim,
+                            headdim=self.ssd_headdim, dtype=self.dtype,
                             name="fusion")(x1, x2, c1, c2, train=train)
         return x1 + f1, x2 + f2
 
@@ -214,22 +226,25 @@ class UpLayerSingle(nn.Module):
     drop_paths: Sequence[float] = ()
     upsample: bool = True
     skip: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, s1, s2, train: bool = False):
         if self.upsample:
-            x = PatchExpand(name="upsample")(x)
+            x = PatchExpand(dtype=self.dtype, name="upsample")(x)
         if self.skip:
             sdown = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                             dtype=self.dtype,
                              name="cat_down")(jnp.concatenate([s1, s2],
                                                               axis=-1))
             x = nn.Dense(self.dim, kernel_init=trunc_normal_02,
+                         dtype=self.dtype,
                          name="in_proj")(jnp.concatenate([x, sdown], axis=-1))
         for i in range(self.depth):
             dp = self.drop_paths[i] if i < len(self.drop_paths) else 0.0
             x = SSConvBlock(hidden_dim=self.dim, drop_path=dp, core="ssd",
                             d_state=self.d_state,
-                            ssd_headdim=self.ssd_headdim,
+                            ssd_headdim=self.ssd_headdim, dtype=self.dtype,
                             name=f"blocks_{i}")(x, train)
         return x
 
@@ -252,12 +267,19 @@ class FusionVFEFM(nn.Module):
     cat_method: str = "stack"
     drop_path_rate: float = 0.1
     single_decoder: bool = False
+    dtype: object = None          # compute dtype (bf16 on TPU); params fp32;
+                                  # the fused image is emitted in fp32
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         nl = len(self.depths)
-        x1 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed1")(x1)
-        x2 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed2")(x2)
+        if self.dtype is not None:
+            x1 = x1.astype(self.dtype)
+            x2 = x2.astype(self.dtype)
+        x1 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                        name="patch_embed1")(x1)
+        x2 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                        name="patch_embed2")(x2)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         skips = []
@@ -267,7 +289,7 @@ class FusionVFEFM(nn.Module):
             x1, x2, skip = DownLayer(
                 dim=self.dims[i], depth=d, cat_method=self.cat_method,
                 d_state=self.d_state, fusion_d_state=self.fusion_d_state,
-                ssd_headdim=self.ssd_headdim,
+                ssd_headdim=self.ssd_headdim, dtype=self.dtype,
                 drop_paths=tuple(dpr[p:p + d]), downsample=(i < nl - 1),
                 name=f"layers_{i}")(x1, x2, train)
             skips.append(skip)
@@ -293,6 +315,7 @@ class FusionVFEFM(nn.Module):
             # decoder fusion, then final_expand + 1x1 conv.  (The file also
             # defines norm/final_cat_proj but its forward never uses them.)
             x = nn.Dense(self.dims_decoder[0], kernel_init=trunc_normal_02,
+                         dtype=self.dtype,
                          name="bridge")(jnp.concatenate([x1, x2], axis=-1))
             p = 0
             for j in range(nd):
@@ -303,18 +326,18 @@ class FusionVFEFM(nn.Module):
                 s1, s2 = (None, None) if j == 0 else skip_for(j)
                 x = UpLayerSingle(
                     dim=block_dim, depth=d, d_state=self.d_state,
-                    ssd_headdim=self.ssd_headdim,
+                    ssd_headdim=self.ssd_headdim, dtype=self.dtype,
                     drop_paths=tuple(dpr_d[p:p + d]), upsample=ups,
                     skip=j > 0, name=f"layers_up_{j}")(x, s1, s2, train)
                 p += d
-            x = FinalPatchExpand(name="final_expand")(x)
+            x = FinalPatchExpand(dtype=self.dtype, name="final_expand")(x)
             return nn.Conv(1, (1, 1), kernel_init=kaiming_conv,
-                           name="final_conv")(x)
+                           name="final_conv")(x).astype(jnp.float32)
 
         x1 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
-                     name="bridge1")(x1)
+                     dtype=self.dtype, name="bridge1")(x1)
         x2 = nn.Conv(self.dims_decoder[0], (1, 1), kernel_init=kaiming_conv,
-                     name="bridge2")(x2)
+                     dtype=self.dtype, name="bridge2")(x2)
         p = 0
         for j in range(nd):
             d = self.depths_decoder[j]
@@ -330,18 +353,18 @@ class FusionVFEFM(nn.Module):
             x1, x2 = UpLayer(
                 dim=block_dim, depth=d, cat_method=self.cat_method,
                 d_state=self.d_state, fusion_d_state=self.fusion_d_state,
-                ssd_headdim=self.ssd_headdim,
+                ssd_headdim=self.ssd_headdim, dtype=self.dtype,
                 drop_paths=tuple(dpr_d[p:p + d]), upsample=ups,
                 skip=use_skip, name=f"layers_up_{j}")(x1, x2, s1, s2, train)
             p += d
 
         x = nn.LayerNorm(name="norm")(jnp.concatenate([x1, x2], axis=-1))
         x = nn.Dense(self.dims_decoder[-1], kernel_init=trunc_normal_02,
-                     name="final_cat_proj")(x)
-        x = FinalPatchExpand(name="final_expand")(x)
+                     dtype=self.dtype, name="final_cat_proj")(x)
+        x = FinalPatchExpand(dtype=self.dtype, name="final_expand")(x)
         out = nn.Conv(1, (1, 1), kernel_init=kaiming_conv,
                       name="final_conv")(x)
-        return out
+        return out.astype(jnp.float32)
 
 
 class CrossVSSMClassifier(nn.Module):
@@ -366,12 +389,18 @@ class CrossVSSMClassifier(nn.Module):
     cat_method: str = "stack"
     fuse_mode: str = "stage3"
     drop_path_rate: float = 0.1
+    dtype: object = None          # compute dtype (bf16 on TPU); params fp32
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         nl = len(self.depths)
-        x1 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed1")(x1)
-        x2 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed2")(x2)
+        if self.dtype is not None:
+            x1 = x1.astype(self.dtype)
+            x2 = x2.astype(self.dtype)
+        x1 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                        name="patch_embed1")(x1)
+        x2 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                        name="patch_embed2")(x2)
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
 
         def stage_blocks(x, i, branch):
@@ -379,7 +408,7 @@ class CrossVSSMClassifier(nn.Module):
             for k in range(self.depths[i]):
                 x = SSConvBlock(hidden_dim=self.dims[i], drop_path=dpr[p + k],
                                 core="ssd", d_state=self.d_state,
-                                ssd_headdim=self.ssd_headdim,
+                                ssd_headdim=self.ssd_headdim, dtype=self.dtype,
                                 name=f"layers{branch}_{i}_blocks_{k}")(x, train)
             return x
 
@@ -388,22 +417,22 @@ class CrossVSSMClassifier(nn.Module):
                 x1 = stage_blocks(x1, i, 1)
                 x2 = stage_blocks(x2, i, 2)
                 proj = (nn.Dense(self.dims[i], kernel_init=trunc_normal_02,
-                                 name=f"cat_proj_{i}")
+                                 dtype=self.dtype, name=f"cat_proj_{i}")
                         if self.cat_method == "stack" else None)
                 c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
                 f1, f2 = CrossMamba(d_model=self.dims[i],
                                     d_state=self.fusion_d_state,
-                                    headdim=self.ssd_headdim,
+                                    headdim=self.ssd_headdim, dtype=self.dtype,
                                     name=f"fusion_{i}")(x1, x2, c1, c2,
                                                         train=train)
                 x1, x2 = x1 + f1, x2 + f2
                 if i < nl - 1:
-                    x1 = PatchMerging(name=f"down1_{i}")(x1)
-                    x2 = PatchMerging(name=f"down2_{i}")(x2)
+                    x1 = PatchMerging(dtype=self.dtype, name=f"down1_{i}")(x1)
+                    x2 = PatchMerging(dtype=self.dtype, name=f"down2_{i}")(x2)
             # `CrossMamba_4ef.py` merges branches with a Linear on the
             # concat (before_head_proj), not a sum
             x = nn.Dense(self.dims[-1], kernel_init=trunc_normal_02,
-                         name="before_head_proj")(
+                         dtype=self.dtype, name="before_head_proj")(
                 jnp.concatenate([x1, x2], axis=-1))
             x1, x2 = x, jnp.zeros_like(x)
         else:  # stage3 / stage3_merged
@@ -411,29 +440,29 @@ class CrossVSSMClassifier(nn.Module):
                 x1 = stage_blocks(x1, i, 1)
                 x2 = stage_blocks(x2, i, 2)
                 if i < nl - 2:
-                    x1 = PatchMerging(name=f"down1_{i}")(x1)
-                    x2 = PatchMerging(name=f"down2_{i}")(x2)
+                    x1 = PatchMerging(dtype=self.dtype, name=f"down1_{i}")(x1)
+                    x2 = PatchMerging(dtype=self.dtype, name=f"down2_{i}")(x2)
             proj = (nn.Dense(self.dims[-2], kernel_init=trunc_normal_02,
-                             name="cat_proj")
+                             dtype=self.dtype, name="cat_proj")
                     if self.cat_method == "stack" else None)
             c1, c2 = _cat_inputs(x1, x2, self.cat_method, proj)
             x1, x2 = CrossMamba(d_model=self.dims[-2],
                                 d_state=self.fusion_d_state,
-                                headdim=self.ssd_headdim,
+                                headdim=self.ssd_headdim, dtype=self.dtype,
                                 name="fusion")(x1, x2, c1, c2, train=train)
             if self.fuse_mode == "stage3_merged":
                 # diagram-2 (`CrossMamba_3e1fadd1e.py:965-970`): add fused
                 # branches, ONE shared downsample + ONE shared stage 4
-                x = PatchMerging(name="downsample")(x1 + x2)
+                x = PatchMerging(dtype=self.dtype, name="downsample")(x1 + x2)
                 x = stage_blocks(x, nl - 1, 0)
                 x1, x2 = x, jnp.zeros_like(x)
             else:
-                x1 = PatchMerging(name="downsample1")(x1)
-                x2 = PatchMerging(name="downsample2")(x2)
+                x1 = PatchMerging(dtype=self.dtype, name="downsample1")(x1)
+                x2 = PatchMerging(dtype=self.dtype, name="downsample2")(x2)
                 x1 = stage_blocks(x1, nl - 1, 1)
                 x2 = stage_blocks(x2, nl - 1, 2)
 
         x = x1 + x2
-        x = jnp.mean(x, axis=(1, 2))
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.num_classes, kernel_init=trunc_normal_02,
                         name="head")(x)

@@ -86,8 +86,11 @@ def _efficient_scan_core(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
             Ds.astype(f32), dt_proj_b.astype(f32))
         return efficient_merge(y4.reshape(Bb, K, L4, D), H, W, step)
 
-    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
-    dts = jnp.einsum("bklr,kdr->bkld", x_dbl[..., :dt_rank], dt_proj_w)
+    # weights cast to the compute dtype: a bf16 x fp32 einsum promotes to an
+    # fp32 MXU matmul (4-8x slower); the MXU accumulates fp32 regardless
+    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w.astype(xs.dtype))
+    dts = jnp.einsum("bklr,kdr->bkld", x_dbl[..., :dt_rank],
+                     dt_proj_w.astype(xs.dtype))
     Bmat = x_dbl[..., dt_rank:dt_rank + d_state]
     Cmat = x_dbl[..., dt_rank + d_state:]
 
@@ -141,17 +144,18 @@ class SS2DEfficient(nn.Module):
     bias: bool = False
     step_size: int = 2
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d_expand = int(self.ssm_ratio * self.d_model)
         R = math.ceil(self.d_model / 16)
-        xz = nn.Dense(2 * d_expand, use_bias=self.bias,
+        xz = nn.Dense(2 * d_expand, use_bias=self.bias, dtype=self.dtype,
                       kernel_init=trunc_normal_02, name="in_proj")(x)
         xp, z = jnp.split(xz, 2, axis=-1)
         xp = nn.Conv(d_expand, (self.d_conv, self.d_conv), padding="SAME",
                      feature_group_count=d_expand, kernel_init=kaiming_conv,
-                     name="conv2d")(xp)
+                     dtype=self.dtype, name="conv2d")(xp)
         xp = jax.nn.silu(xp)
         pw, dw, db, Alog, Ds = _ScanParams(d_expand, self.d_state, R,
                                            name="scan")()
@@ -160,7 +164,7 @@ class SS2DEfficient(nn.Module):
                                  step=self.step_size, impl=self.scan_impl)
         y = nn.LayerNorm(name="out_norm")(y.astype(x.dtype))
         y = y * jax.nn.silu(z)
-        out = nn.Dense(self.d_model, use_bias=self.bias,
+        out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="out_proj")(y)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -182,6 +186,7 @@ class SS2DCrossEfficient(nn.Module):
     step_size: int = 2
     fix_z2: bool = False
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -189,10 +194,10 @@ class SS2DCrossEfficient(nn.Module):
         R = math.ceil(self.d_model / 16)
         conv = nn.Conv(d_expand, (self.d_conv, self.d_conv), padding="SAME",
                        feature_group_count=d_expand, kernel_init=kaiming_conv,
-                       name="conv2d")           # shared between branches
-        xz1 = nn.Dense(2 * d_expand, use_bias=self.bias,
+                       dtype=self.dtype, name="conv2d")  # shared between branches
+        xz1 = nn.Dense(2 * d_expand, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="in_proj1")(x1)
-        xz2 = nn.Dense(2 * d_expand, use_bias=self.bias,
+        xz2 = nn.Dense(2 * d_expand, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="in_proj2")(x2)
         xa, z1 = jnp.split(xz1, 2, axis=-1)
         xb, z2 = jnp.split(xz2, 2, axis=-1)
@@ -208,7 +213,7 @@ class SS2DCrossEfficient(nn.Module):
                                  step=self.step_size, impl=self.scan_impl)
         y = nn.LayerNorm(name="out_norm")(y.astype(x1.dtype))
         y = y * z1 + y * z2
-        out = nn.Dense(self.d_model, use_bias=self.bias,
+        out = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype,
                        kernel_init=trunc_normal_02, name="out_proj")(y)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -234,7 +239,7 @@ class LDCConv(nn.Module):
         ksum = jnp.sum(w, axis=(0, 1))                     # [cin, cout]
         mask = 1.0 - theta * center[:, :, None, None] * lm * ksum
         return jax.lax.conv_general_dilated(
-            x, w * mask, (1, 1), "SAME",
+            x, (w * mask).astype(x.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -273,7 +278,7 @@ class BiAttn(nn.Module):
         g = nn.gelu(nn.Dense(red, name="global_reduce")(g),
                     approximate=False)   # torch nn.GELU is erf-exact
         attn = jax.nn.sigmoid(nn.Dense(c, name="channel_select")(g))
-        return x * attn
+        return x * attn.astype(x.dtype)
 
 
 class VSSBlockNew(nn.Module):
@@ -293,12 +298,14 @@ class VSSBlockNew(nn.Module):
     drop_path: float = 0.0
     mlp_ratio: float = 4.0
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(x).astype(x.dtype)
         y_ssm = SS2DEfficient(self.dim, d_state=self.d_state,
-                              scan_impl=self.scan_impl, name="op")(
+                              scan_impl=self.scan_impl, dtype=self.dtype,
+                              name="op")(
             h, train=train)
         y = y_ssm + ECALayer(name="channel_attn")(y_ssm)
         y_conv = LDCConv(self.dim, name="conv_branch")(y)
@@ -306,12 +313,12 @@ class VSSBlockNew(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         out = x + dp(se(y_ssm) + se(y_conv), deterministic=not train)
         if self.mlp_ratio > 0:
-            h2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(out)
-            h2 = nn.Dense(int(self.dim * self.mlp_ratio),
+            h2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(out).astype(out.dtype)
+            h2 = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                           kernel_init=trunc_normal_02, name="mlp_fc1")(h2)
             h2 = nn.gelu(h2, approximate=False)  # torch GELU = erf
             h2 = nn.Dense(self.dim, kernel_init=trunc_normal_02,
-                          name="mlp_fc2")(h2)
+                          dtype=self.dtype, name="mlp_fc2")(h2)
             out = out + dp(h2, deterministic=not train)
         return out
 
@@ -323,15 +330,16 @@ class VSSBlockCrossNew(nn.Module):
     d_state: int = 16
     drop_path: float = 0.0
     scan_impl: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         fuse = x1 + x2
         f1, f2 = CrossLayer(self.dim, name="cross_layer")(fuse, x1, x2)
-        f1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")(f1)
-        f2 = nn.LayerNorm(epsilon=1e-6, name="ln_2")(f2)
+        f1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")(f1).astype(x1.dtype)
+        f2 = nn.LayerNorm(epsilon=1e-6, name="ln_2")(f2).astype(x2.dtype)
         y = SS2DCrossEfficient(self.dim, d_state=self.d_state,
-                               scan_impl=self.scan_impl,
+                               scan_impl=self.scan_impl, dtype=self.dtype,
                                name="self_attention_cross")(f1, f2, train=train)
         y_sp = ECALayer(name="eca")(y)
         return x1 + x2 + y + y_sp
@@ -352,26 +360,34 @@ class VSSMFusion(nn.Module):
     d_state: int = 16
     drop_path_rate: float = 0.1
     scan_impl: str = "auto"
+    dtype: object = None          # compute dtype (bf16 on TPU); params fp32;
+                                  # the fused image is emitted in fp32
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         nl = len(self.depths)
         in1, in2 = x1, x2
+        if self.dtype is not None:
+            x1 = x1.astype(self.dtype)
+            x2 = x2.astype(self.dtype)
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
 
         # weight-shared encoder: define once, apply to both inputs
-        embed1 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed1")
-        embed2 = PatchEmbed(self.patch_size, self.dims[0], name="patch_embed2")
+        embed1 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                            name="patch_embed1")
+        embed2 = PatchEmbed(self.patch_size, self.dims[0], dtype=self.dtype,
+                            name="patch_embed2")
 
         stages = []
         p = 0
         for i in range(nl):
             blocks = [VSSBlockNew(self.dims[i], d_state=self.d_state,
                                   drop_path=dpr[p + j],
-                                  scan_impl=self.scan_impl,
+                                  scan_impl=self.scan_impl, dtype=self.dtype,
                                   name=f"layers_{i}_blocks_{j}")
                       for j in range(self.depths[i])]
-            down = (PatchMerging(name=f"layers_{i}_downsample")
+            down = (PatchMerging(dtype=self.dtype,
+                                 name=f"layers_{i}_downsample")
                     if i < nl - 1 else None)
             stages.append((blocks, down))
             p += self.depths[i]
@@ -394,6 +410,7 @@ class VSSMFusion(nn.Module):
         for i in range(nl):
             fused_skips.append(VSSBlockCrossNew(
                 self.dims[i], d_state=self.d_state, scan_impl=self.scan_impl,
+                dtype=self.dtype,
                 name=f"cross_block_{i}")(skips1[i], skips2[i], train=train))
 
         dpr_d = np.linspace(0, self.drop_path_rate,
@@ -402,17 +419,18 @@ class VSSMFusion(nn.Module):
         for i in range(nl):
             if i > 0:
                 h = h + fused_skips[-i]
-                h = PatchExpand(name=f"layers_up_{i}_upsample")(h)
+                h = PatchExpand(dtype=self.dtype,
+                                name=f"layers_up_{i}_upsample")(h)
             for j in range(self.depths_decoder[i]):
                 h = VSSBlockNew(self.dims_decoder[i], d_state=self.d_state,
                                 drop_path=dpr_d[p + j],
-                                scan_impl=self.scan_impl,
+                                scan_impl=self.scan_impl, dtype=self.dtype,
                                 name=f"layers_up_{i}_blocks_{j}")(h, train=train)
             p += self.depths_decoder[i]
 
-        h = FinalPatchExpand(name="final_up")(h)
+        h = FinalPatchExpand(dtype=self.dtype, name="final_up")(h)
         out = nn.Conv(1, (1, 1), kernel_init=kaiming_conv,
-                      name="final_conv")(h)
+                      name="final_conv")(h).astype(jnp.float32)
         # the reference adds the raw inputs twice (`:926`) — i.e. a
         # 2*(x1+x2) residual; replicated for behavioural parity.
         return out + 2.0 * (in1 + in2)
@@ -435,7 +453,8 @@ class CDCConvHV(nn.Module):
         row0 = jnp.concatenate([z, t[0], z], axis=1)
         row1 = jnp.concatenate([t[1], t[2], t[3]], axis=1)
         row2 = jnp.concatenate([z, t[4], z], axis=1)
-        k = jnp.concatenate([row0, row1, row2], axis=0)      # [3,3,cin,cout]
+        k = jnp.concatenate([row0, row1, row2],
+                            axis=0).astype(x.dtype)       # [3,3,cin,cout]
         out = jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         kd = jnp.sum(k, axis=(0, 1), keepdims=True)
@@ -461,7 +480,7 @@ class CDCConvDiag(nn.Module):
         row0 = jnp.concatenate([t[0], z, t[1]], axis=1)
         row1 = jnp.concatenate([z, t[2], z], axis=1)
         row2 = jnp.concatenate([t[3], z, t[4]], axis=1)
-        k = jnp.concatenate([row0, row1, row2], axis=0)
+        k = jnp.concatenate([row0, row1, row2], axis=0).astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         kd = jnp.sum(k, axis=(0, 1), keepdims=True)

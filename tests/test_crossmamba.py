@@ -109,3 +109,42 @@ def test_fusion_unet_four_stage_default_wiring():
     out, _ = _init_apply(m, x1, x2)
     assert out.shape == (1, 64, 64, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fusion_unet_bf16_compute():
+    """bf16 compute dtype: params stay fp32, fused image comes back fp32,
+    and the result tracks the fp32 output (same weights)."""
+    x1 = jnp.ones((1, 32, 32, 3)) * 0.5
+    x2 = jnp.ones((1, 32, 32, 3)) * 0.3
+    m32 = FusionVFEFM(**FUSION_SMALL)
+    vars_ = m32.init({"params": jax.random.PRNGKey(0)}, x1, x2, train=False)
+    leaves = jax.tree_util.tree_leaves(vars_["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    out32 = m32.apply(vars_, x1, x2, train=False)
+    m16 = FusionVFEFM(**FUSION_SMALL, dtype=jnp.bfloat16)
+    out16 = m16.apply(vars_, x1, x2, train=False)
+    assert out16.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(out16)))
+    # bf16 rounding compounds through the content-fuse/LDC stacks: assert
+    # the fields agree in distribution, not elementwise
+    a = np.asarray(out32).ravel()
+    b = np.asarray(out16).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    assert float(np.mean(np.abs(a - b))) < 0.1 * (float(np.std(a)) + 1e-6)
+
+
+def test_cross_classifier_bf16_compute():
+    m32 = CrossVSSMClassifier(num_classes=5, depths=(1, 1, 1, 1),
+                              dims=(8, 16, 32, 64), d_state=4, ssd_headdim=4,
+                              drop_path_rate=0.0)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    vars_ = m32.init({"params": jax.random.PRNGKey(0)}, x1, x2, train=False)
+    out32 = m32.apply(vars_, x1, x2, train=False)
+    m16 = CrossVSSMClassifier(num_classes=5, depths=(1, 1, 1, 1),
+                              dims=(8, 16, 32, 64), d_state=4, ssd_headdim=4,
+                              drop_path_rate=0.0, dtype=jnp.bfloat16)
+    out16 = m16.apply(vars_, x1, x2, train=False)
+    assert out16.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out16)))
+    assert jnp.argmax(out16, -1).tolist() == jnp.argmax(out32, -1).tolist()
