@@ -51,3 +51,37 @@ def test_train_cli_and_resume(tmp_path, monkeypatch):
     # resume for one more epoch
     cfg2 = TrainConfig(**{**cfg.__dict__, "epochs": 2, "resume": save})
     main(cfg2)
+
+
+def test_export_roundtrip(tmp_path, monkeypatch):
+    """AOT export -> deserialize -> call matches direct apply (cli.export)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jax_export
+    from medical_image_classification_tpu.cli.export import build_serve_fn
+    import medical_image_classification_tpu.models.registry as registry
+
+    orig = registry._REGISTRY["medmamba"]
+
+    def tiny(num_classes, **kw):
+        kw.update(depths=(1, 1), dims=(16, 32), d_state=4, drop_path_rate=0.0)
+        return orig(num_classes, **kw)
+
+    monkeypatch.setitem(registry._REGISTRY, "medmamba", tiny)
+    serve, ex_args = build_serve_fn("medmamba", num_classes=3,
+                                    weights=None, batch_size=2,
+                                    image_size=32, dtype=None)
+    exported = jax_export.export(jax.jit(serve))(*ex_args)
+    blob = exported.serialize()
+    path = tmp_path / "m.jaxexport"
+    path.write_bytes(blob)
+
+    back = jax_export.deserialize(path.read_bytes())
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    got = jax.jit(back.call)(x)
+    want = serve(x)
+    assert got.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
