@@ -76,9 +76,11 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
     return results
 
 
-def bench_fusion(model_name: str, batch: int, size: int, iters: int):
+def bench_fusion(model_name: str, batch: int, size: int, iters: int,
+                 dtype: str = "fp32"):
     """Fusion-family train throughput (pairs/sec): the reference anchor
-    config (batch 2, 256^2, Adam, SSIM+grad loss — `CrossMamba/train.py`)."""
+    config (batch 2, 256^2, Adam, SSIM+grad loss — `CrossMamba/train.py`,
+    fp32).  dtype="bf16" measures the compute-dtype override."""
     import optax
     from medical_image_classification_tpu.models.registry import (
         create_fusion_model)
@@ -89,7 +91,8 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int):
         chained_device_time)
 
     channels = 1 if model_name == "fusionmamba" else 3
-    model = create_fusion_model(model_name)
+    kw = {"dtype": jnp.bfloat16} if dtype == "bf16" else {}
+    model = create_fusion_model(model_name, **kw)
     tx = make_optimizer("adam", 2e-4)
     rng = jax.random.PRNGKey(0)
     xa = jnp.asarray(np.random.RandomState(0).rand(
@@ -131,10 +134,11 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--extra-models", default="medssd:16,vfefm_2b2:2",
-                   help="comma list of model[:batch] also measured and "
-                        "reported under extra (VERDICT r1: track medssd + "
-                        "one fusion model per round); '' disables")
+    p.add_argument("--extra-models",
+                   default="medssd:16,vfefm_2b2:2,vfefm_2b2:2:bf16",
+                   help="comma list of model[:batch[:dtype]] also measured "
+                        "and reported under extra (VERDICT r1: track medssd "
+                        "+ one fusion model per round); '' disables")
     args = p.parse_args()
 
     n_dev = jax.local_device_count()
@@ -159,19 +163,23 @@ def main():
     from medical_image_classification_tpu.models.registry import (
         available_fusion_models)
     for spec in filter(None, args.extra_models.split(",")):
-        name, _, b = spec.partition(":")
-        b = int(b) if b else args.batch
+        parts = spec.split(":")
+        name = parts[0]
+        b = int(parts[1]) if len(parts) > 1 and parts[1] else args.batch
+        fdtype = parts[2] if len(parts) > 2 else "fp32"
+        key = name if fdtype == "fp32" else f"{name}_{fdtype}"
         try:
             if name in available_fusion_models():
-                r = bench_fusion(name, b, 256, max(args.iters // 2, 5))
+                r = bench_fusion(name, b, 256, max(args.iters // 2, 5),
+                                 dtype=fdtype)
             else:
                 r = bench(name, b, args.size, max(args.iters // 2, 5),
                           "both", args.dtype)
-            out["extra"][f"{name}_train_ips"] = round(r.get("train_ips", 0), 2)
-            out["extra"][f"{name}_infer_ips"] = round(r.get("infer_ips", 0), 2)
-            out["extra"][f"{name}_batch"] = b
+            out["extra"][f"{key}_train_ips"] = round(r.get("train_ips", 0), 2)
+            out["extra"][f"{key}_infer_ips"] = round(r.get("infer_ips", 0), 2)
+            out["extra"][f"{key}_batch"] = b
         except Exception as e:  # pragma: no cover — extras must not kill
-            out["extra"][f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            out["extra"][f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

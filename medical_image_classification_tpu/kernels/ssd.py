@@ -137,9 +137,11 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
         scores = jnp.einsum("bclgn,bcsgn->bcgls", Cc_, Bc_,
                             preferred_element_type=mm_dtype)  # [B,nc,G,l,s]
         M = scores[:, :, :, None] * Lmat_r
+        # output in mm_dtype directly (the MXU accumulates fp32 internally;
+        # preferred=f32 + astype paid an extra fp32 [B, L, H, P] HBM pass)
         Yd = jnp.einsum("bcgrls,bcsgrp->bclgrp", M, dtx_r_,
-                        preferred_element_type=acc_dtype)
-        return Yd.reshape(Bsz, nc, chunk_size, H, P).astype(mm_dtype)
+                        preferred_element_type=mm_dtype)
+        return Yd.reshape(Bsz, nc, chunk_size, H, P)
 
     Y_diag = _y_diag(Cc.astype(mm_dtype), Bc.astype(mm_dtype), A_cum_t,
                      dtx_r)

@@ -20,8 +20,11 @@ from medical_image_classification_tpu.kernels.selective_scan import selective_sc
 from medical_image_classification_tpu.kernels.ssd import ssd_chunked
 from medical_image_classification_tpu.ops.cross_scan import (
     cross_scan,
+    cross_scan_time_major,
     cross_merge,
     cross_merge_stack,
+    cross_merge_stack_time_major,
+    cross_merge_time_major,
 )
 
 
@@ -234,22 +237,25 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     L = H * W
     K = 4
     gn = ngroups * d_state
-    xs_all = cross_scan(xBCdt)                           # [B, 4, L, Cc]
+    # time-major stack [B, L, 4, Cc]: every direction-major fold below is a
+    # free reshape (the old [B, 4, L, *] layout paid full-tensor swapaxes
+    # copies for xh/dth/Bh/Ch)
+    xs_all = cross_scan_time_major(xBCdt)                # [B, L, 4, Cc]
     xs = xs_all[..., :d_ssm]
     Bmat = xs_all[..., d_ssm:d_ssm + gn]
     Cmat = xs_all[..., d_ssm + gn:d_ssm + 2 * gn]
     dts = xs_all[..., d_ssm + 2 * gn:]
 
     # direction-major folds: heads h = (k, head)
-    xh = jnp.swapaxes(xs, 1, 2).reshape(Bb, L, K * nheads, headdim)
-    dth = jnp.swapaxes(dts, 1, 2).reshape(Bb, L, K * nheads)
+    xh = xs.reshape(Bb, L, K * nheads, headdim)
+    dth = dts.reshape(Bb, L, K * nheads)
     if bc_layout == "ref_flat":
         assert ngroups == 1, "ref_flat layout requires ngroups=1 (all models)"
-        Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, 1, K * d_state)
-        Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, 1, K * d_state)
+        Bh = Bmat.reshape(Bb, L, 1, K * d_state)
+        Ch = Cmat.reshape(Bb, L, 1, K * d_state)
     else:
-        Bh = jnp.swapaxes(Bmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
-        Ch = jnp.swapaxes(Cmat, 1, 2).reshape(Bb, L, K * ngroups, d_state)
+        Bh = Bmat.reshape(Bb, L, K * ngroups, d_state)
+        Ch = Cmat.reshape(Bb, L, K * ngroups, d_state)
 
     A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * nheads)
     Df = Ds.astype(jnp.float32).reshape(-1)
@@ -259,10 +265,10 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     y = ssd_chunked(xh, dth, A, Bh, Ch, chunk_size=chunk_size, D=Df,
                     dt_bias=dt_bias.astype(jnp.float32).reshape(K * nheads),
                     dt_softplus=True)                     # [B, L, K*nheads, headdim]
-    ys = jnp.swapaxes(y.reshape(Bb, L, K, d_ssm), 1, 2)   # [B, 4, L, d_ssm]
+    ys = y.reshape(Bb, L, K, d_ssm)                       # free view
     if merge:
-        return cross_merge(ys, H, W)
-    return cross_merge_stack(ys, H, W)
+        return cross_merge_time_major(ys, H, W)
+    return cross_merge_stack_time_major(ys, H, W)
 
 
 def rmsnorm_gated(x, z, weight, *, eps: float = 1e-5,

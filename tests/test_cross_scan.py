@@ -6,6 +6,8 @@ import numpy as np
 
 from medical_image_classification_tpu.ops import (
     cross_scan, cross_merge, cross_merge_stack,
+    cross_scan_time_major, cross_merge_time_major,
+    cross_merge_stack_time_major,
     efficient_scan, efficient_merge,
 )
 
@@ -43,6 +45,29 @@ def test_efficient_scan_roundtrip():
     assert ys.shape == (2, 4, 12, 4)
     back = efficient_merge(ys, 8, 6, step=2)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-6)
+
+
+def test_cross_scan_time_major_matches_cross_scan():
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 6, 5, 3))
+    xs = cross_scan(x)                       # [B, 4, L, C]
+    xt = cross_scan_time_major(x)            # [B, L, 4, C]
+    np.testing.assert_array_equal(np.asarray(jnp.swapaxes(xt, 1, 2)),
+                                  np.asarray(xs))
+
+
+def test_cross_merge_time_major_inverts_scan():
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 7, 5, 6))
+    xt = cross_scan_time_major(x)
+    merged = cross_merge_time_major(xt, 7, 5)
+    np.testing.assert_allclose(np.asarray(merged), 4 * np.asarray(x),
+                               rtol=1e-6)
+    stacked = cross_merge_stack_time_major(xt, 7, 5)
+    for k in range(4):
+        np.testing.assert_allclose(np.asarray(stacked[:, k]),
+                                   np.asarray(x.reshape(2, 35, 6)),
+                                   rtol=1e-6)
 
 
 def test_cross_scan_grad_flows():
