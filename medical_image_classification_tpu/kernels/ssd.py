@@ -19,9 +19,16 @@ Returns y: [B, L, H, P] and optionally the final state [B, H, P, N].
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Y_diag remat flavour: "full" recomputes the whole region in bwd; "dots"
+# saves the MXU contractions and recomputes only the elementwise decay
+# product (A/B-measured on v5e — see ssd_chunked._y_diag comment).
+_YDIAG_REMAT = "full"
 
 
 def _cumsum_last(x):
@@ -53,9 +60,32 @@ def _segsum(x, xc=None):
     return jnp.where(mask, seg, -jnp.inf)
 
 
+def _pick_chunk(L: int, chunk_size: int) -> int:
+    """Padding-aware effective chunk size.
+
+    Two competing costs: intra-chunk (decay-matrix) work grows LINEARLY
+    with c, while the inter-chunk state path (S stack + walk + Y_off —
+    enormous at ref_flat's N = K*d_state) shrinks as 1/c.  Measured at
+    MedSSD b16 (fwd+bwd, v5e):
+      - L=49  padded to 256 is 5x wasted work: 2.12 -> 0.62 ms single-chunk
+      - L=784: c=784 single-chunk 5.83 ms beats c=256 (7.78), c=392 (7.58);
+        SMALLER chunks lose badly (c=128: 12.2, c=160: 11.6) — state traffic
+        dominates, so fewer chunks win until l^2 work catches up
+      - L=3136: c=256 (20.5 ms) beats c=448 (see STATUS) — past ~1k the
+        linear intra term has taken over.
+    Rule: one sublane-aligned chunk for L <= 3.5*chunk_size (covers the
+    measured L=784 win at the default chunk 256; the untested L=1024 case
+    conservatively stays chunked), else the caller's chunk.
+    """
+    if 2 * L <= 7 * chunk_size:
+        return -(-L // 8) * 8                       # one chunk, 8-aligned
+    return chunk_size
+
+
 def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
                 dt_bias=None, dt_softplus=True, initial_state=None,
-                return_final_state=False, acc_dtype=jnp.float32):
+                return_final_state=False, acc_dtype=jnp.float32,
+                adaptive_chunk: bool = True):
     """Chunked block-matmul SSD scan.
 
     The four stages (mirroring the SSD algorithm the reference's Triton kernel
@@ -80,6 +110,8 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     if dt_softplus:
         dt = jax.nn.softplus(dt)
 
+    if adaptive_chunk:
+        chunk_size = _pick_chunk(L, chunk_size)
     pad = (-L) % chunk_size
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -129,8 +161,14 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     # remat: the masked-decay matrix M is [B, nc, H, l, l] — by far the
     # largest intermediate (l^2).  Recomputing it in the bwd pass from the
     # (small) inputs costs one extra group-level matmul + exp but removes
-    # the fwd->bwd residual round trip of two l^2 tensors.
-    @jax.checkpoint
+    # the fwd->bwd residual round trip of two l^2 tensors.  The dots policy
+    # additionally SAVES the group-level scores matmul ([B,nc,G,l,s] — G=1
+    # at ref_flat, rep-x smaller than M) so only the elementwise decay
+    # product is recomputed in bwd, not the MXU contraction.
+    policy = (jax.checkpoint_policies.checkpoint_dots
+              if _YDIAG_REMAT == "dots" else None)
+
+    @partial(jax.checkpoint, policy=policy)
     def _y_diag(Cc_, Bc_, A_cum_t_, dtx_r_):
         Lmat = jnp.exp(_segsum(dtA_t, xc=A_cum_t_)).astype(mm_dtype)
         Lmat_r = Lmat.reshape(Bsz, nc, G, rep, chunk_size, chunk_size)
