@@ -30,6 +30,10 @@ from jax import lax
 # product (A/B-measured on v5e — see ssd_chunked._y_diag comment).
 _YDIAG_REMAT = "full"
 
+# fused Pallas Y_diag (no l^2 HBM traffic — see ssd_ydiag_pallas.py);
+# auto-gated by shape/backend, this flag force-disables for A/B.
+_USE_YDIAG_PALLAS = True
+
 
 def _cumsum_last(x):
     """Inclusive cumsum along the last axis as a triangular-ones matmul.
@@ -181,8 +185,23 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
                         preferred_element_type=mm_dtype)
         return Yd.reshape(Bsz, nc, chunk_size, H, P)
 
-    Y_diag = _y_diag(Cc.astype(mm_dtype), Bc.astype(mm_dtype), A_cum_t,
-                     dtx_r)
+    from medical_image_classification_tpu.kernels import ssd_ydiag_pallas
+
+    if (_USE_YDIAG_PALLAS and G == 1
+            and ssd_ydiag_pallas.ydiag_supported(chunk_size, N, P, G)):
+        # fused kernel consumes the head-major dtx already built for the
+        # chunk-state einsum; scores/decay never leave VMEM
+        BC = Bsz * nc
+        Ydh = ssd_ydiag_pallas.ydiag_fused(
+            Cc.astype(mm_dtype).reshape(BC, chunk_size, N),
+            Bc.astype(mm_dtype).reshape(BC, chunk_size, N),
+            A_cum_t.reshape(BC, H, chunk_size),
+            dtx_h.reshape(BC, H, chunk_size, P))            # [BC,H,l,P]
+        Y_diag = jnp.moveaxis(
+            Ydh.reshape(Bsz, nc, H, chunk_size, P), 2, 3)   # [B,nc,l,H,P]
+    else:
+        Y_diag = _y_diag(Cc.astype(mm_dtype), Bc.astype(mm_dtype), A_cum_t,
+                         dtx_r)
 
     # 2. per-chunk end states (decay folds into the P-sized operand, not the
     # N-sized one)
