@@ -34,6 +34,23 @@ _YDIAG_REMAT = "full"
 # auto-gated by shape/backend, this flag force-disables for A/B.
 _USE_YDIAG_PALLAS = True
 
+# fully fused Pallas SSD (intra-chunk + state walk in VMEM — see
+# ssd_fused_pallas.py); auto-gated, force-disable for A/B.
+_USE_SSD_FUSED = True
+
+
+def _ssd_epilogue(y, x, Bsz, Lp, L, H, P, D, z, mm_dtype, out_dtype):
+    """Shared D-skip / z-gate / dtype tail (XLA fuses it into consumers)."""
+    if D is not None:
+        xs = x.reshape(Bsz, Lp, H, P)[:, :L]
+        if D.ndim == 1:                                  # per-head scalar D
+            y = y + xs * D.astype(mm_dtype)[None, None, :, None]
+        else:
+            y = y + xs * D.astype(mm_dtype)
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(mm_dtype))
+    return y.astype(out_dtype)
+
 
 def _cumsum_last(x):
     """Inclusive cumsum along the last axis as a triangular-ones matmul.
@@ -154,6 +171,32 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     # keeps the l-major orientation — the head-major variant of THAT dot
     # measured ~3 ms slower plus a final transpose-back
     dtx_h = jnp.moveaxis(dtx_r, 2, 4)                    # [B, nc, G, r, l, P]
+
+    from medical_image_classification_tpu.kernels import (
+        ssd_fused_pallas,
+        ssd_ydiag_pallas,
+    )
+
+    if (_USE_SSD_FUSED and G == 1 and initial_state is None
+            and not return_final_state
+            and ssd_fused_pallas.ssd_fused_supported(
+                chunk_size, N, P, G, nc, H,
+                jnp.dtype(mm_dtype).itemsize)):
+        # whole SSD (masked-decay matmuls + state walk) in one Pallas
+        # kernel; the [B, nc, H, P, N] state stack and every l^2 tensor
+        # stay in VMEM (bwd walks chunks in reverse from saved boundary
+        # states — see ssd_fused_pallas.py)
+        dte_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)     # [B, nc, H, l]
+        cdec = jnp.exp(A_cum_t[..., -1])                 # [B, nc, H]
+        yh = ssd_fused_pallas.ssd_fused(
+            Cc.astype(mm_dtype).reshape(Bsz, nc, chunk_size, N),
+            Bc.astype(mm_dtype).reshape(Bsz, nc, chunk_size, N),
+            A_cum_t, dte_t, cdec,
+            dtx_h.reshape(Bsz, nc, H, chunk_size, P))    # [B, nc, H, l, P]
+        y = jnp.moveaxis(yh, 2, 3).reshape(Bsz, Lp, H, P)[:, :L]
+        return _ssd_epilogue(y, x, Bsz, Lp, L, H, P, D, z, mm_dtype,
+                             out_dtype)
+
     Bc_h = jnp.moveaxis(Bc, 2, 3).astype(mm_dtype)       # [B, nc, G, l, N]
 
     # 1. intra-chunk (causal masked attention-like matmul).  Scores are
@@ -185,10 +228,9 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
                         preferred_element_type=mm_dtype)
         return Yd.reshape(Bsz, nc, chunk_size, H, P)
 
-    from medical_image_classification_tpu.kernels import ssd_ydiag_pallas
-
     if (_USE_YDIAG_PALLAS and G == 1
-            and ssd_ydiag_pallas.ydiag_supported(chunk_size, N, P, G)):
+            and ssd_ydiag_pallas.ydiag_supported(
+                chunk_size, N, P, G, H, jnp.dtype(mm_dtype).itemsize)):
         # fused kernel consumes the head-major dtx already built for the
         # chunk-state einsum; scores/decay never leave VMEM
         BC = Bsz * nc
@@ -258,15 +300,7 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
              * decay_from_start[..., None])
 
     y = (Y_diag + Y_off).reshape(Bsz, Lp, H, P)[:, :L]
-    if D is not None:
-        xs = x.reshape(Bsz, Lp, H, P)[:, :L]
-        if D.ndim == 1:                                  # per-head scalar D
-            y = y + xs * D.astype(mm_dtype)[None, None, :, None]
-        else:
-            y = y + xs * D.astype(mm_dtype)
-    if z is not None:
-        y = y * jax.nn.silu(z.astype(mm_dtype))
-    y = y.astype(out_dtype)
+    y = _ssd_epilogue(y, x, Bsz, Lp, L, H, P, D, z, mm_dtype, out_dtype)
     if return_final_state:
         return y, S_carry.reshape(Bsz, H, P, N).astype(out_dtype)
     return y

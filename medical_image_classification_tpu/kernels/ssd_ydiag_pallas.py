@@ -52,6 +52,27 @@ except Exception:  # pragma: no cover
 # test hook: interpreter mode (golden tests on CPU)
 _INTERPRET = False
 
+# fp32 matmul operands round to bf16 on the MXU at DEFAULT precision —
+# measured ~1%% errors through exp(a_i - a_j) on-chip; HIGHEST forces the
+# fp32 emulation passes (no-op for native bf16 operands)
+_P_HI = jax.lax.Precision.HIGHEST
+
+def _dg(a, b, dimension_numbers, preferred_element_type=jnp.float32,
+        precision=None):
+    """dot_general with fp32-safe precision.
+
+    Mosaic's DEFAULT precision rounds fp32 MXU operands to bf16 (measured
+    ~1% error through exp(a_i - a_j) on-chip), while HIGHEST on native
+    bf16 operands fails to compile ("Bad lhs type") — so HIGHEST is applied
+    exactly when both operands are fp32.
+    """
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        precision = _P_HI
+    return jax.lax.dot_general(a, b, dimension_numbers,
+                               preferred_element_type=preferred_element_type,
+                               precision=precision)
+
+
 # VMEM working-set cap for choosing the head-block size
 _VMEM_BUDGET = int(8 * 1024 * 1024)
 
@@ -66,21 +87,28 @@ def _pick_hb(H: int, l: int, N: int, P: int, itemsize: int = 2) -> int:
     Models the bwd kernel (the bigger one): scores/dscores scratches +
     per-head [l, l] fp32 temporaries, double-buffered C/B blocks, and
     double-buffered [HB, l, P] blocks (dtx, dy, ddtx, y).
+
+    Mosaic block shapes need the second-to-last dim divisible by 8 or equal
+    to the array dim, so HB is 16, 8, or H itself; returns None if nothing
+    fits (callers gate the kernel off).
     """
     fixed = 2 * l * l * 4 + 4 * l * N * itemsize + 6 * l * l * 4
-    for hb in (16, 8, 4, 2, 1):
-        if H % hb:
+    for hb in (16, 8, H):
+        if hb > H or H % hb:
             continue
         per = 8 * hb * l * P * itemsize + 4 * hb * l * 4
         if fixed + per <= _VMEM_BUDGET:
             return hb
-    return 1
+    return None
 
 
-def ydiag_supported(l: int, N: int, P: int, G: int) -> bool:
+def ydiag_supported(l: int, N: int, P: int, G: int, H: int = None,
+                    itemsize: int = 2) -> bool:
     if not _PALLAS_OK:
         return False
     if not (_INTERPRET or jax.default_backend() == "tpu"):
+        return False
+    if H is not None and _pick_hb(H, l, N, P, itemsize) is None:
         return False
     # one (l, l) tile per program; lane-friendly operands.  Small chunks
     # (l < _MIN_L) measured SLOWER than the XLA batched einsums (per-program
@@ -91,20 +119,26 @@ def ydiag_supported(l: int, N: int, P: int, G: int) -> bool:
             and P % 8 == 0)
 
 
-def _decay(a_row, l):
+def _decay(a_row, l, a_col=None):
     """exp(a_i - a_j) for i >= j else 0, from the lane-major cumsum.
 
-    a_row: [1, l] fp32.  The sublane orientation a_i is built with an MXU
-    outer product (a_row^T ⊗ ones) — a [*, l, 1]-shaped input block would
-    tile to 128 lanes (128x VMEM waste, measured scoped-vmem OOM).
+    a_row: [1, l] fp32.  The sublane orientation comes from an in-VMEM
+    vector transpose (exact; an MXU outer-product variant rounded the
+    exponents to bf16 at DEFAULT precision — ~1% on-chip error — and cost
+    6 emulation passes at HIGHEST; a [*, l, 1]-shaped input block would
+    tile to 128 lanes, 128x VMEM waste).
     """
-    ones = jnp.ones((1, l), jnp.float32)
-    a_i = jax.lax.dot_general(a_row, ones, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [l, l]
-    seg = a_i - a_row                                       # [l, l]
+    if a_col is None:
+        a_col = jnp.transpose(a_row)                        # [l, 1]
+    seg = a_col - a_row                                     # [l, l]
     mask = (jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
             >= jax.lax.broadcasted_iota(jnp.int32, (l, l), 1))
     return jnp.where(mask, jnp.exp(seg), 0.0)
+
+
+def _rowsum(x):
+    """Exact VPU row sums of a 2-D fp32 value, emitted lane-major [1, l]."""
+    return jnp.transpose(jnp.sum(x, axis=1, keepdims=True))
 
 
 def _fwd_kernel(C_ref, B_ref, acj_ref, dtx_ref, y_ref, scores,
@@ -113,7 +147,7 @@ def _fwd_kernel(C_ref, B_ref, acj_ref, dtx_ref, y_ref, scores,
 
     @pl.when(hb == 0)
     def _():
-        scores[...] = jax.lax.dot_general(
+        scores[...] = _dg(
             C_ref[0].astype(mm_dtype), B_ref[0].astype(mm_dtype),
             (((1,), (1,)), ((), ())),                       # C @ B^T
             preferred_element_type=jnp.float32)             # [l, l]
@@ -122,7 +156,7 @@ def _fwd_kernel(C_ref, B_ref, acj_ref, dtx_ref, y_ref, scores,
     for h in range(HB):
         E = _decay(acj_ref[0, h:h + 1], l)                  # [l, l] fp32
         M = (sc * E).astype(mm_dtype)
-        y = jax.lax.dot_general(M, dtx_ref[0, h].astype(mm_dtype),
+        y = _dg(M, dtx_ref[0, h].astype(mm_dtype),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         y_ref[0, h] = y.astype(y_ref.dtype)
@@ -135,14 +169,13 @@ def _bwd_kernel(C_ref, B_ref, acj_ref, dtx_ref, dy_ref,
 
     @pl.when(hb == 0)
     def _():
-        scores[...] = jax.lax.dot_general(
+        scores[...] = _dg(
             C_ref[0].astype(mm_dtype), B_ref[0].astype(mm_dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dscores[...] = jnp.zeros_like(dscores)
 
     sc = scores[...]
-    ones = jnp.ones((1, l), jnp.float32)
     dsc = jnp.zeros((l, l), jnp.float32)
     for h in range(HB):
         E = _decay(acj_ref[0, h:h + 1], l)                  # [l, l] fp32
@@ -150,32 +183,30 @@ def _bwd_kernel(C_ref, B_ref, acj_ref, dtx_ref, dy_ref,
         dy = dy_ref[0, h].astype(mm_dtype)                  # [l, P]
         dtx = dtx_ref[0, h].astype(mm_dtype)                # [l(s), P]
         # d(dtx)[s] = sum_l M[l, s] dy[l]  (contract l)
-        ddtx = jax.lax.dot_general(M.astype(mm_dtype), dy,
+        ddtx = _dg(M.astype(mm_dtype), dy,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         ddtx_ref[0, h] = ddtx.astype(ddtx_ref.dtype)
         # dM[l, s] = sum_p dy[l, p] dtx[s, p]  (contract P)
-        dM = jax.lax.dot_general(dy, dtx, (((1,), (1,)), ((), ())),
+        dM = _dg(dy, dtx, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dsc = dsc + dM * E
         G = dM * M                                          # [l, l] fp32
-        # dacum[i] = sum_j G[i, j] - sum_l G[l, i]; both reductions emitted
-        # lane-major via ones-matmuls (no [l, 1] stores, no transposes)
-        dar_ref[0, h:h + 1] = jax.lax.dot_general(
-            ones, G, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # row sums [1, l]
-        dac_ref[0, h:h + 1] = jax.lax.dot_general(
-            ones, G, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # col sums [1, l]
+        # dacum[i] = sum_j G[i, j] - sum_l G[l, i]; both reductions are
+        # exact VPU sums emitted lane-major (ones-MATMULS here rounded the
+        # fp32 G to bf16 at DEFAULT precision)
+        dar_ref[0, h:h + 1] = _rowsum(G)                    # row sums [1, l]
+        dac_ref[0, h:h + 1] = jnp.sum(G, axis=0,
+                                      keepdims=True)        # col sums [1, l]
     dscores[...] += dsc
 
     @pl.when(hb == pl.num_programs(1) - 1)
     def _():
         ds = dscores[...].astype(mm_dtype)
-        dC_ref[0] = jax.lax.dot_general(
+        dC_ref[0] = _dg(
             ds, B_ref[0].astype(mm_dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dC_ref.dtype)
-        dB_ref[0] = jax.lax.dot_general(
+        dB_ref[0] = _dg(
             ds, C_ref[0].astype(mm_dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dB_ref.dtype)
 

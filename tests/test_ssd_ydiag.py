@@ -63,12 +63,11 @@ def test_ydiag_forward_parity(dtype, rtol, atol, l, H, P):
 
 def test_ydiag_multi_head_block():
     """Force HB < H so the sequential head-grid accumulation runs."""
-    args = _inputs(l=32, H=8, P=8)
+    args = _inputs(l=32, H=32, P=8)
     old = yd._VMEM_BUDGET
     try:
-        yd._VMEM_BUDGET = 70_000    # tiny: forces small HB
-        hb = yd._pick_hb(8, 32, 128, 8, 4)
-        assert hb < 8
+        yd._VMEM_BUDGET = 200_000   # tiny: forces HB=8 < H=32
+        assert yd._pick_hb(32, 32, 128, 8, 4) == 8
         got = yd.ydiag_fused(*args)
     finally:
         yd._VMEM_BUDGET = old
