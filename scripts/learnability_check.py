@@ -3,10 +3,10 @@
 scan) trains an 8-class synthetic oriented-grating task to 100% held-out
 accuracy in 150 steps.
 
-Last runs (2026-08-16, v5e-1):
+Last runs (2026-08-18, v5e-1, fused Pallas SSD kernel path):
   medmamba: step 0 loss 2.2226 acc 0.156 ... step 149 loss 0.0002 acc 1.000;
             held-out acc 1.000
-  medssd:   step 0 loss 2.1742 ... step 99 loss 0.0000; held-out acc 1.000
+  medssd:   step 99 loss 0.0000 acc 1.000; held-out acc 1.000
 Pass --model medssd to run the SSD core instead.
 """
 import argparse

@@ -113,6 +113,30 @@ def test_fused_multi_head_block_grid():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_kernel_under_dp_sharding():
+    """The fused kernel composes with GSPMD batch sharding (8-dev mesh).
+
+    Interpret mode validates tracing/partitioning composition on the
+    virtual mesh; real multi-chip custom-call partitioning can only be
+    exercised on hardware (single chip here — see STATUS.md).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    x, dt, A, Bm, Cm, D, bias = _inputs(B=8, L=96)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    xs, dts = jax.device_put(x, sh), jax.device_put(dt, sh)
+    Bs, Cs = jax.device_put(Bm, sh), jax.device_put(Cm, sh)
+
+    def loss(x, dt, Bm, Cm):
+        y = _run(x, dt, A, Bm, Cm, D, bias, chunk=32, fused=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_sh = jax.jit(jax.grad(loss))(xs, dts, Bs, Cs)
+    g_ref = jax.jit(jax.grad(loss))(x, dt, Bm, Cm)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_fused_gate_respects_state_args():
     """initial_state / return_final_state fall back to the XLA path."""
     x, dt, A, Bm, Cm, D, bias = _inputs(L=64)
