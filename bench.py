@@ -135,7 +135,7 @@ def main():
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--extra-models",
-                   default="medssd:16,vfefm_2b2:2,vfefm_2b2:2:bf16",
+                   default="medssd:16,st_ssd:8,vfefm_2b2:2,vfefm_2b2:2:bf16",
                    help="comma list of model[:batch[:dtype]] also measured "
                         "and reported under extra (VERDICT r1: track medssd "
                         "+ one fusion model per round); '' disables")

@@ -40,7 +40,7 @@ def main(args):
     log.info("%d pairs, %d steps/epoch", len(pairs), spe)
 
     kw = {}
-    if args.dtype == "bf16":
+    if getattr(args, "dtype", "fp32") == "bf16":
         # compute-dtype override (params stay fp32; fused image fp32).  The
         # reference anchor trains fp32, so fp32 remains the default.
         kw["dtype"] = jnp.bfloat16

@@ -134,6 +134,7 @@ class STL(nn.Module):
     p^2 semantic tokens from L positions."""
     p: int
     channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y):
@@ -142,11 +143,20 @@ class STL(nn.Module):
                         (self.channels, self.p ** 2))
         u2 = self.param("u2", nn.initializers.uniform(1.0),
                         (self.channels, self.channels))
+        if self.dtype is not None:
+            # cast the (tiny) weights to the compute dtype: a bf16 x fp32
+            # matmul promotes to an fp32 MXU op AND materialises the
+            # [B, L, p^2] mixer fp32 — at stage 0 (L = p^2 = 3136) that is
+            # the single most expensive tensor in the ST-SSD step
+            u1, u2, y = (t.astype(self.dtype) for t in (u1, u2, y))
         s_max = jnp.max(y, axis=-1, keepdims=True)        # over channels -> [B,L,1]
         s_avg = jnp.mean(y, axis=-1, keepdims=True)
-        m = nn.Dense(1, name="mix")(jnp.concatenate([s_max, s_avg], axis=-1))
+        m = nn.Dense(1, name="mix", dtype=self.dtype)(
+            jnp.concatenate([s_max, s_avg], axis=-1))
         w = jax.nn.sigmoid(m) * y                          # [B, L, C]
-        A = jax.nn.softmax(w @ u1, axis=-1)                # [B, L, p^2]
+        # softmax reduction in fp32 (3136-wide rows), mixer stored compact
+        A = jax.nn.softmax((w @ u1).astype(jnp.float32), axis=-1)
+        A = A.astype(w.dtype)                              # [B, L, p^2]
         V = w @ u2                                         # [B, L, C]
         return jnp.einsum("blp,blc->bpc", A, V)            # [B, p^2, C]
 
@@ -176,6 +186,7 @@ class STF(nn.Module):
     fixing it would break parity)."""
     p: int
     channels: int          # d_ssm (the reference's in_channel * 2)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, z_feat, U):
@@ -186,16 +197,22 @@ class STF(nn.Module):
         # reference's transposed pooling
         Mr = _adaptive_bins(L, self.channels)              # L    -> d_ssm
         Mc = _adaptive_bins(Cin, P)                        # Cin  -> p^2
+        lz = self.param("z", nn.initializers.uniform(1.0), (self.channels, P))
+        if self.dtype is not None:
+            # see STL: keep the quadratic [B, P, P] gate matmuls in the
+            # compute dtype instead of silently promoting to fp32
+            Mr, Mc, lz, z_feat, U = (t.astype(self.dtype)
+                                     for t in (Mr, Mc, lz, z_feat, U))
         pooled = jnp.einsum("blc,lo,cp->bop", z_feat, Mr, Mc)
         pooled = jax.nn.silu(pooled)                       # [B, C=d_ssm, P]
         z_max = jnp.max(pooled, axis=1, keepdims=True)     # over "channels"
         z_avg = jnp.mean(pooled, axis=1, keepdims=True)    # [B, 1, P]
         mix_in = jnp.concatenate([z_max, z_avg], axis=1)   # [B, 2, P]
-        m = nn.Dense(1, name="mix")(jnp.swapaxes(mix_in, 1, 2))  # [B, P, 1]
+        m = nn.Dense(1, name="mix", dtype=self.dtype)(
+            jnp.swapaxes(mix_in, 1, 2))                    # [B, P, 1]
         m = jax.nn.sigmoid(m)
         weighted = jnp.swapaxes(m, 1, 2) * pooled          # [B, C, P]
         weighted = jnp.swapaxes(weighted, 1, 2)            # [B, P, C]
-        lz = self.param("z", nn.initializers.uniform(1.0), (self.channels, P))
         Z = jax.nn.sigmoid(jnp.swapaxes(pooled, 1, 2) @ lz)  # [B, P, P]
         return weighted + jnp.einsum("bpq,bqc->bpc", Z, U)
 
@@ -273,13 +290,14 @@ class SS2DSSD(nn.Module):
             # tokens, fused with the original features, weighted-merged.
             p = self.st_tokens
             assert p * p == L, f"st_tokens^2 ({p*p}) must equal L ({L})"
-            stl = STL(p=p, channels=d_ssm, name="stl")
-            stf = STF(p=p, channels=d_ssm, name="stf")
+            stl = STL(p=p, channels=d_ssm, dtype=self.dtype, name="stl")
+            stf = STF(p=p, channels=d_ssm, dtype=self.dtype, name="stf")
             u_bn = nn.BatchNorm(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5, name="o_norm")(u)
             # d_model channels here, upsampled to d_ssm inside STF by the
             # reference's adaptive pool (= channel duplication; see STF)
             z_feat = nn.Conv(self.d_model, (1, 1), kernel_init=kaiming_conv,
+                             dtype=self.dtype,
                              name="o_linear")(u_bn).reshape(Bb, L, -1)
             outs = [stf(z_feat, stl(y[:, k].astype(u.dtype))) for k in range(4)]
             kw = self.param("k_weights",

@@ -118,3 +118,21 @@ def test_pallas_fused_impl_degrades_gracefully():
     out, _, _ = _init_and_forward(model, x)
     assert out.shape == (2, 5)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_st_ssd_bf16_compute_dtype():
+    """The ST tail (STL/STF/o_linear) must run in the model compute dtype —
+    fp32 params used to silently promote the quadratic [B, L, p^2] token
+    matmuls to fp32 (2x MXU time + 2x HBM for the stage-0 mixer)."""
+    kw = dict(**SMALL, d_state=8, st_tokens=(8, 4))
+    m16 = create_model("st_ssd", num_classes=5, dtype=jnp.bfloat16, **kw)
+    m32 = create_model("st_ssd", num_classes=5, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m32.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    y16 = m16.apply(v, x, train=False)
+    y32 = m32.apply(v, x, train=False)
+    assert bool(jnp.all(jnp.isfinite(y16)))
+    # same weights, bf16 compute: logits agree to bf16 tolerance
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32, np.float32),
+                               rtol=0.12, atol=0.12)
