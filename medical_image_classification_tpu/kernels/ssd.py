@@ -100,6 +100,14 @@ def _pick_chunk(L: int, chunk_size: int) -> int:
     """
     if 2 * L <= 7 * chunk_size:
         return -(-L // 8) * 8                       # one chunk, 8-aligned
+    # prefer an 8-aligned chunk that divides L exactly, searching just
+    # below the caller's chunk: padding L=3136 to 13 x 256 materialises
+    # pad copies of x/dt/B/C (+ the [:, :L] slice) in fwd AND bwd, while
+    # 14 x 224 runs pad-free for ~the same intra/inter split (the fused
+    # Pallas kernel's gate window [224, 256] covers both)
+    for c in range(chunk_size, (7 * chunk_size) // 8 - 1, -8):
+        if L % c == 0:
+            return c
     return chunk_size
 
 
