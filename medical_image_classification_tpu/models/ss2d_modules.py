@@ -189,8 +189,14 @@ class STF(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, z_feat, U):
+    def __call__(self, z_feat, U, u_scale=None):
         # z_feat: [B, L, Cin] (original d_model features); U: [B, p^2, C]
+        # u_scale: STF is AFFINE in U (everything except the final Z @ U
+        # depends only on z_feat), so the WMF merge sum_k w_k STF(z, U_k)
+        # equals sum(w) * weighted + Z @ (sum_k w_k U_k) — the caller passes
+        # the pre-merged U and sum(w) here, paying ONE [B,P,P]x[B,P,C]
+        # matmul instead of four (P = p^2 = L: the largest matmuls in the
+        # ST-SSD step at stage 0).
         P = self.p ** 2
         B, L, Cin = z_feat.shape
         # (b, L, Cin) --adaptive bins--> (b, channels, P), matching the
@@ -214,7 +220,9 @@ class STF(nn.Module):
         weighted = jnp.swapaxes(m, 1, 2) * pooled          # [B, C, P]
         weighted = jnp.swapaxes(weighted, 1, 2)            # [B, P, C]
         Z = jax.nn.sigmoid(jnp.swapaxes(pooled, 1, 2) @ lz)  # [B, P, P]
-        return weighted + jnp.einsum("bpq,bqc->bpc", Z, U)
+        if u_scale is not None:
+            weighted = weighted * u_scale.astype(weighted.dtype)
+        return weighted + jnp.einsum("bpq,bqc->bpc", Z, U.astype(Z.dtype))
 
 
 class SS2DSSD(nn.Module):
@@ -299,11 +307,18 @@ class SS2DSSD(nn.Module):
             z_feat = nn.Conv(self.d_model, (1, 1), kernel_init=kaiming_conv,
                              dtype=self.dtype,
                              name="o_linear")(u_bn).reshape(Bb, L, -1)
-            outs = [stf(z_feat, stl(y[:, k].astype(u.dtype))) for k in range(4)]
+            # One batched STL over the folded direction axis (weights are
+            # shared across directions), then the WMF merge collapsed into
+            # STF's affine structure: sum_k w_k STF(z, STL(y_k)) =
+            # sum(w)*weighted(z) + Z(z) @ sum_k w_k STL(y_k) — one big
+            # [B,P,P] matmul instead of four (see STF.__call__).
+            U4 = stl(y.astype(u.dtype).reshape(Bb * 4, L, -1))
+            U4 = U4.reshape(Bb, 4, p * p, -1)
             kw = self.param("k_weights",
                             lambda rng, s: jnp.full(s, 0.25), (4,))
             w = jax.nn.softmax(kw)
-            y = sum(wi * oi for wi, oi in zip(w, outs))
+            U_m = jnp.einsum("k,bkpc->bpc", w.astype(U4.dtype), U4)
+            y = stf(z_feat, U_m, u_scale=jnp.sum(w))
             y = y.reshape(Bb, H, W, -1)
 
         y = y.astype(u.dtype)

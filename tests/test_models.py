@@ -120,6 +120,31 @@ def test_pallas_fused_impl_degrades_gracefully():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_wmf_merge_collapse_matches_explicit():
+    """The production ST tail computes sum_k w_k STF(z, STL(y_k)) as
+    sum(w)*weighted + Z @ (sum_k w_k U_k) — STF is affine in U, so the
+    collapsed form (one [B,P,P] matmul instead of four) must match the
+    explicit four-call merge (`/root/reference/st_mamba/ST_SSD.py:632-655`)."""
+    from medical_image_classification_tpu.models.ss2d_modules import STL, STF
+    B, L, C, Cin, p = 2, 16, 12, 6, 4
+    rng = jax.random.PRNGKey(0)
+    y4 = jax.random.normal(rng, (B, 4, L, C))
+    z_feat = jax.random.normal(jax.random.PRNGKey(1), (B, L, Cin))
+    kw = jax.random.normal(jax.random.PRNGKey(2), (4,))
+    stl = STL(p=p, channels=C)
+    stf = STF(p=p, channels=C)
+    vl = stl.init(jax.random.PRNGKey(3), y4[:, 0])
+    vf = stf.init(jax.random.PRNGKey(4), z_feat, jnp.zeros((B, p * p, C)))
+    w = jax.nn.softmax(kw)
+    explicit = sum(wi * stf.apply(vf, z_feat, stl.apply(vl, y4[:, k]))
+                   for k, wi in enumerate(w))
+    U4 = stl.apply(vl, y4.reshape(B * 4, L, C)).reshape(B, 4, p * p, C)
+    U_m = jnp.einsum("k,bkpc->bpc", w, U4)
+    collapsed = stf.apply(vf, z_feat, U_m, u_scale=jnp.sum(w))
+    np.testing.assert_allclose(np.asarray(collapsed), np.asarray(explicit),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_st_ssd_bf16_compute_dtype():
     """The ST tail (STL/STF/o_linear) must run in the model compute dtype —
     fp32 params used to silently promote the quadratic [B, L, p^2] token
