@@ -79,3 +79,14 @@ def test_ssd_gated_z():
     y = ssd_chunked(x, dt, A, B, C, chunk_size=16, D=D, z=z, dt_bias=dt_bias)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_pick_chunk_prefers_pad_free_divisor():
+    """L=3136 must pick 224 (14 pad-free chunks) over 256 (13 chunks with a
+    96-row pad copy of x/dt/B/C in fwd AND bwd); small L collapses to one
+    8-aligned chunk; L with no near divisor keeps the caller's chunk."""
+    from medical_image_classification_tpu.kernels.ssd import _pick_chunk
+    assert _pick_chunk(3136, 256) == 224
+    assert _pick_chunk(49, 256) == 56          # single 8-aligned chunk
+    assert _pick_chunk(784, 256) == 784        # still <= 3.5x chunk
+    assert _pick_chunk(3137, 256) == 256       # prime-ish: no divisor, keep
