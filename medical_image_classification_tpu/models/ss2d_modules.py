@@ -154,6 +154,14 @@ class STL(nn.Module):
         m = nn.Dense(1, name="mix", dtype=self.dtype)(
             jnp.concatenate([s_max, s_avg], axis=-1))
         w = jax.nn.sigmoid(m) * y                          # [B, L, C]
+        from medical_image_classification_tpu.kernels.stl_mixer_pallas import (
+            stl_mixer, stl_mixer_supported)
+        L, P = w.shape[1], self.p ** 2
+        if stl_mixer_supported(L, P, w.shape[-1], w.dtype.itemsize):
+            # fused flash-style mixer: softmax rows live in VMEM only — the
+            # [B, L, p^2] mixer (630 MB bf16/tensor at stage 0) never
+            # touches HBM in fwd or bwd
+            return stl_mixer(w, u1, u2)
         # softmax reduction in fp32 (3136-wide rows), mixer stored compact
         A = jax.nn.softmax((w @ u1).astype(jnp.float32), axis=-1)
         A = A.astype(w.dtype)                              # [B, L, p^2]
