@@ -227,9 +227,17 @@ class STF(nn.Module):
         m = jax.nn.sigmoid(m)
         weighted = jnp.swapaxes(m, 1, 2) * pooled          # [B, C, P]
         weighted = jnp.swapaxes(weighted, 1, 2)            # [B, P, C]
-        Z = jax.nn.sigmoid(jnp.swapaxes(pooled, 1, 2) @ lz)  # [B, P, P]
         if u_scale is not None:
             weighted = weighted * u_scale.astype(weighted.dtype)
+        pooledT = jnp.swapaxes(pooled, 1, 2)               # [B, P, C]
+        from medical_image_classification_tpu.kernels.stf_zgate_pallas import (
+            stf_zgate, stf_zgate_supported)
+        if stf_zgate_supported(P, pooledT.shape[-1], pooledT.dtype.itemsize):
+            # fused gate: the [B, P, P] Z matrix (157 MB bf16 at stage 0)
+            # lives in VMEM row-tiles only, fwd and bwd
+            return weighted + stf_zgate(pooledT, lz,
+                                        U.astype(pooledT.dtype))
+        Z = jax.nn.sigmoid(pooledT @ lz)                   # [B, P, P]
         return weighted + jnp.einsum("bpq,bqc->bpc", Z, U.astype(Z.dtype))
 
 
