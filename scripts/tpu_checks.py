@@ -92,8 +92,70 @@ def check_model_grads():
     assert cos > 0.9999 and rel < 1e-2
 
 
+def check_st_kernels():
+    """Compiled (Mosaic) parity for the ST-SSD fused kernels at the real
+    stage-0 shape — interpret-mode tests can't catch lowering issues like
+    the P=3136 non-128-multiple lane padding in the softmax reductions."""
+    from medical_image_classification_tpu.kernels import stl_mixer_pallas as smp
+    from medical_image_classification_tpu.kernels import stf_zgate_pallas as szp
+
+    BB, L, P, C = 4, 3136, 3136, 256
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    w = (0.5 * jax.random.normal(ks[0], (BB, L, C))).astype(jnp.bfloat16)
+    u1 = jax.random.uniform(ks[1], (C, P), minval=-0.06,
+                            maxval=0.06).astype(jnp.bfloat16)
+    u2 = jax.random.uniform(ks[2], (C, C), minval=-0.06,
+                            maxval=0.06).astype(jnp.bfloat16)
+
+    def stl_ref(w, u1, u2):
+        A = jax.nn.softmax((w @ u1).astype(jnp.float32), -1).astype(w.dtype)
+        return jnp.einsum("blp,blc->bpc", A, w @ u2)
+
+    assert smp.stl_mixer_supported(L, P, C)
+    loss = lambda fn: (lambda a: jnp.sum(jnp.sin(
+        fn(*a).astype(jnp.float32))))
+    y = jax.jit(smp.stl_mixer)(w, u1, u2)
+    y_ref = jax.jit(stl_ref)(w, u1, u2)
+    scale = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-9
+    err = float(jnp.max(jnp.abs(y.astype(jnp.float32) -
+                                y_ref.astype(jnp.float32)))) / scale
+    print(f"[4] stl_mixer fwd max rel err (bf16): {err:.2e}")
+    assert err < 5e-2
+    gp = jax.jit(jax.grad(loss(smp.stl_mixer)))((w, u1, u2))
+    gr = jax.jit(jax.grad(loss(stl_ref)))((w, u1, u2))
+    worst = max(float(jnp.max(jnp.abs((p - r).astype(jnp.float32)))) /
+                (float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-9)
+                for p, r in zip(gp, gr))
+    print(f"[5] stl_mixer grads worst rel err (bf16): {worst:.2e}")
+    assert worst < 8e-2
+
+    pooledT = (0.5 * jax.random.normal(ks[3], (BB, P, C))).astype(jnp.bfloat16)
+    U = y_ref
+
+    def z_ref(pooledT, lz, U):
+        Z = jax.nn.sigmoid(pooledT @ lz)
+        return jnp.einsum("bpq,bqc->bpc", Z, U.astype(Z.dtype))
+
+    assert szp.stf_zgate_supported(P, C)
+    y2 = jax.jit(szp.stf_zgate)(pooledT, u1, U)
+    y2_ref = jax.jit(z_ref)(pooledT, u1, U)
+    scale = float(jnp.max(jnp.abs(y2_ref.astype(jnp.float32)))) + 1e-9
+    err = float(jnp.max(jnp.abs(y2.astype(jnp.float32) -
+                                y2_ref.astype(jnp.float32)))) / scale
+    print(f"[6] stf_zgate fwd max rel err (bf16): {err:.2e}")
+    assert err < 5e-2
+    gp = jax.jit(jax.grad(loss(szp.stf_zgate)))((pooledT, u1, U))
+    gr = jax.jit(jax.grad(loss(z_ref)))((pooledT, u1, U))
+    worst = max(float(jnp.max(jnp.abs((p - r).astype(jnp.float32)))) /
+                (float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-9)
+                for p, r in zip(gp, gr))
+    print(f"[7] stf_zgate grads worst rel err (bf16): {worst:.2e}")
+    assert worst < 8e-2
+
+
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu", "run on a TPU host"
     check_scan()
     check_model_grads()
+    check_st_kernels()
     print("ALL TPU CHECKS PASS")
