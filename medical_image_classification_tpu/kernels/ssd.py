@@ -81,12 +81,14 @@ def _segsum(x, xc=None):
     return jnp.where(mask, seg, -jnp.inf)
 
 
-def _pick_chunk(L: int, chunk_size: int) -> int:
+def _pick_chunk(L: int, chunk_size: int, N: int = 512) -> int:
     """Padding-aware effective chunk size.
 
     Two competing costs: intra-chunk (decay-matrix) work grows LINEARLY
-    with c, while the inter-chunk state path (S stack + walk + Y_off —
-    enormous at ref_flat's N = K*d_state) shrinks as 1/c.  Measured at
+    with c, while the inter-chunk state path (S stack + walk + Y_off)
+    shrinks as 1/c.  The balance depends on the state width N:
+
+    LARGE N (>= 256 — MedSSD's ref_flat N = K*d_state = 512), measured at
     MedSSD b16 (fwd+bwd, v5e):
       - L=49  padded to 256 is 5x wasted work: 2.12 -> 0.62 ms single-chunk
       - L=784: c=784 single-chunk 5.83 ms beats c=256 (7.78), c=392 (7.58);
@@ -96,16 +98,27 @@ def _pick_chunk(L: int, chunk_size: int) -> int:
         linear intra term has taken over.
     Rule: one sublane-aligned chunk for L <= 3.5*chunk_size (covers the
     measured L=784 win at the default chunk 256; the untested L=1024 case
-    conservatively stays chunked), else the caller's chunk.
+    conservatively stays chunked), else prefer an 8-aligned chunk that
+    DIVIDES L exactly just below the caller's chunk: padding L=3136 to
+    13 x 256 materialises pad copies of x/dt/B/C (+ the [:, :L] slice) in
+    fwd AND bwd, while 14 x 224 runs pad-free for ~the same intra/inter
+    split (the fused Pallas kernel's gate window [224, 256] covers both).
+
+    SMALL N (< 256 — e.g. ST-SSD / CNN-Mamba at d_state=16 -> N=64): the
+    per-chunk state is trivial ([B, H, P, N] ~ 1 MB), so l^2 work dominates
+    everywhere and smaller chunks win; a pad-free divisor in [96, 256] also
+    keeps l inside the fused-kernel window where one exists (L=3136 -> 224).
     """
-    if 2 * L <= 7 * chunk_size:
+    if N >= 256:
+        if 2 * L <= 7 * chunk_size:
+            return -(-L // 8) * 8                   # one chunk, 8-aligned
+        for c in range(chunk_size, (7 * chunk_size) // 8 - 1, -8):
+            if L % c == 0:
+                return c
+        return chunk_size
+    if L <= max(chunk_size, 256):
         return -(-L // 8) * 8                       # one chunk, 8-aligned
-    # prefer an 8-aligned chunk that divides L exactly, searching just
-    # below the caller's chunk: padding L=3136 to 13 x 256 materialises
-    # pad copies of x/dt/B/C (+ the [:, :L] slice) in fwd AND bwd, while
-    # 14 x 224 runs pad-free for ~the same intra/inter split (the fused
-    # Pallas kernel's gate window [224, 256] covers both)
-    for c in range(chunk_size, (7 * chunk_size) // 8 - 1, -8):
+    for c in range(min(chunk_size, 256), 95, -8):   # largest pad-free divisor
         if L % c == 0:
             return c
     return chunk_size
@@ -140,7 +153,7 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
         dt = jax.nn.softplus(dt)
 
     if adaptive_chunk:
-        chunk_size = _pick_chunk(L, chunk_size)
+        chunk_size = _pick_chunk(L, chunk_size, N)
     pad = (-L) % chunk_size
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))

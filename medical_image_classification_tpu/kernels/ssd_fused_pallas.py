@@ -72,8 +72,11 @@ def ssd_fused_supported(l: int, N: int, P: int, G: int, nc: int,
         return False
     if _pick_hb(H, l, N, P, itemsize) is None:
         return False
+    # N % 64: see ydiag_supported — small-N models (ST-SSD, CNN-Mamba at
+    # ref_flat N=64) lane-pad B/C/state to 128 lanes but keep the l^2 and
+    # state-stack HBM savings
     return (G == 1 and nc >= 2 and _MIN_L <= l <= _MAX_L and l % 8 == 0
-            and N % 128 == 0 and P % 8 == 0)
+            and N % 64 == 0 and P % 8 == 0)
 
 
 def _fwd_kernel(C_ref, B_ref, acum_ref, dte_ref, cdec_ref, dtx_ref,

@@ -86,7 +86,13 @@ def test_pick_chunk_prefers_pad_free_divisor():
     96-row pad copy of x/dt/B/C in fwd AND bwd); small L collapses to one
     8-aligned chunk; L with no near divisor keeps the caller's chunk."""
     from medical_image_classification_tpu.kernels.ssd import _pick_chunk
-    assert _pick_chunk(3136, 256) == 224
-    assert _pick_chunk(49, 256) == 56          # single 8-aligned chunk
-    assert _pick_chunk(784, 256) == 784        # still <= 3.5x chunk
-    assert _pick_chunk(3137, 256) == 256       # prime-ish: no divisor, keep
+    assert _pick_chunk(3136, 256, N=512) == 224
+    assert _pick_chunk(49, 256, N=512) == 56   # single 8-aligned chunk
+    assert _pick_chunk(784, 256, N=512) == 784  # still <= 3.5x chunk
+    assert _pick_chunk(3137, 256, N=512) == 256  # prime-ish: no divisor
+    # small N (ST-SSD / CNN-Mamba): state path is trivial, l^2 dominates —
+    # chunk everywhere L allows, preferring pad-free divisors
+    assert _pick_chunk(3136, 256, N=64) == 224
+    assert _pick_chunk(784, 256, N=64) == 112  # largest 8-ALIGNED divisor
+    assert _pick_chunk(196, 256, N=64) == 200  # single chunk, 8-aligned
+    assert _pick_chunk(49, 256, N=64) == 56

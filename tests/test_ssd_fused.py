@@ -69,6 +69,28 @@ def test_fused_forward_vs_xla(dtype, rtol, atol, L, chunk):
                                rtol=rtol, atol=atol)
 
 
+def test_fused_small_state_n64():
+    """N=64 (ST-SSD / CNN-Mamba ref_flat) lane-pads to 128 but must stay
+    numerically exact — fwd and grads vs the XLA path."""
+    x, dt, A, Bm, Cm, D, bias = _inputs(L=96, H=8, P=16, N=64)
+    assert sf.ssd_fused_supported(32, 64, 16, 1, 3, 8)
+
+    def loss(fused):
+        def f(x, dt, Bm, Cm):
+            y = _run(x, dt, A, Bm, Cm, D, bias, chunk=32, fused=fused)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+
+    got = _run(x, dt, A, Bm, Cm, D, bias, chunk=32, fused=True)
+    want = _run(x, dt, A, Bm, Cm, D, bias, chunk=32, fused=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    for gf, gx, name in zip(loss(True), loss(False),
+                            ["dx", "ddt", "dB", "dC"]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_fused_forward_vs_seq_ref():
     x, dt, A, Bm, Cm, D, bias = _inputs(L=80)
     got = _run(x, dt, A, Bm, Cm, D, bias, chunk=16, fused=True)
