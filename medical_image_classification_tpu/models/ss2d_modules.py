@@ -260,6 +260,7 @@ class SS2DSSD(nn.Module):
     kan_filter: bool = False                 # eKAN pre-filter (kanoutSSD)
     kan_grid_size: int = 5
     kan_spline_order: int = 1
+    seq_axis: object = None          # mesh axis name for L-sharded scans (SP)
     dtype: object = None
 
     @nn.compact
@@ -307,7 +308,8 @@ class SS2DSSD(nn.Module):
         merge = self.st_tokens is None
         y = ss2d_core_ssd(xBCdt, A_log, dt_b, Ds, d_ssm=d_ssm, ngroups=G,
                           d_state=N, nheads=nheads, headdim=self.headdim,
-                          chunk_size=self.chunk_size, merge=merge)
+                          chunk_size=self.chunk_size, merge=merge,
+                          seq_axis=self.seq_axis)
 
         if self.st_tokens is not None:
             # ST-SSD tail (`ST_SSD.py:632-655`): per-direction semantic

@@ -75,7 +75,7 @@ class SSConvBlock(nn.Module):
                         st_tokens=self.st_tokens, kan_in=self.kan_in,
                         kan_filter=self.kan_filter,
                         kan_spline_order=self.kan_spline_order,
-                        dtype=self.dtype,
+                        seq_axis=self.seq_axis, dtype=self.dtype,
                         name="self_attention")(r, train=train)
         else:
             raise ValueError(f"unknown core: {self.core}")

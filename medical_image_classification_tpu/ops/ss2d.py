@@ -209,10 +209,46 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     return cross_merge_stack(ys, H, W)
 
 
+def _ssd_scan_seq_parallel(xh, dth, A, Bh, Ch, Df, dtb, chunk_size,
+                           seq_axis: str):
+    """shard_map the folded SSD scan over an L-sharding mesh axis.
+
+    The TPU shape of the reference's ``sequence_parallel`` flag on its SSD
+    model (`CNN_Mamba.py:354,365`): each device scans its L-shard, the
+    per-shard (decay, final-state) summaries combine with ONE small
+    all_gather, and a cheap Y_off-style einsum adds the cross-shard
+    contribution (exact — see parallel/sequence_parallel.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from medical_image_classification_tpu.parallel.mesh import current_mesh
+    from medical_image_classification_tpu.parallel.sequence_parallel import (
+        ssd_sequence_parallel)
+
+    mesh = current_mesh()
+    assert mesh is not None and seq_axis in mesh.axis_names, (
+        f"seq_axis='{seq_axis}' needs a registered mesh with that axis "
+        "(parallel.mesh.make_mesh(sp=...))")
+    l3 = P(None, seq_axis, None)
+    l4 = P(None, seq_axis, None, None)
+
+    def local(x_, dt_, B_, C_, A_, D_, b_):
+        # params ride in as replicated ARGS (closures over GSPMD-sharded
+        # arrays inside shard_map trip an Auto/Manual mesh clash)
+        return ssd_sequence_parallel(x_, dt_, A_, B_, C_, axis_name=seq_axis,
+                                     chunk_size=chunk_size, D=D_, dt_bias=b_,
+                                     dt_softplus=True)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(l4, l3, l4, l4, P(), P(), P()),
+                   out_specs=l4, check_rep=False)
+    return fn(xh, dth, Bh, Ch, A, Df, dtb)
+
+
 def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
                   d_state: int, nheads: int, headdim: int,
                   chunk_size: int = 256, merge: bool = True,
-                  bc_layout: str = "ref_flat"):
+                  bc_layout: str = "ref_flat", seq_axis=None):
     """Mamba-2 (SSD) 4-direction 2-D scan.
 
     xBCdt  : [B, H, W, d_ssm + 2*ngroups*d_state + nheads]
@@ -262,9 +298,14 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     if Df.shape[0] == K * d_ssm:                          # D_has_hdim
         Df = Df.reshape(K * nheads, headdim)
 
-    y = ssd_chunked(xh, dth, A, Bh, Ch, chunk_size=chunk_size, D=Df,
-                    dt_bias=dt_bias.astype(jnp.float32).reshape(K * nheads),
-                    dt_softplus=True)                     # [B, L, K*nheads, headdim]
+    dtb = dt_bias.astype(jnp.float32).reshape(K * nheads)
+    if seq_axis is not None:
+        y = _ssd_scan_seq_parallel(xh, dth, A, Bh, Ch, Df, dtb, chunk_size,
+                                   seq_axis)              # [B, L, KH, P]
+    else:
+        y = ssd_chunked(xh, dth, A, Bh, Ch, chunk_size=chunk_size, D=Df,
+                        dt_bias=dtb,
+                        dt_softplus=True)                 # [B, L, K*nheads, headdim]
     ys = y.reshape(Bb, L, K, d_ssm)                       # free view
     if merge:
         return cross_merge_time_major(ys, H, W)

@@ -9,11 +9,11 @@ import numpy as np
 import pytest
 
 
-def _tiny(seq_axis=None):
+def _tiny(seq_axis=None, name="medmamba", **kw):
     from medical_image_classification_tpu.models import create_model
-    return create_model("medmamba", num_classes=3, depths=(1, 1),
+    return create_model(name, num_classes=3, depths=(1, 1),
                         dims=(8, 16), d_state=4, drop_path_rate=0.0,
-                        scan_impl="xla", seq_axis=seq_axis)
+                        scan_impl="xla", seq_axis=seq_axis, **kw)
 
 
 def test_sp_train_step_matches_unsharded():
@@ -53,6 +53,45 @@ def test_sp_train_step_matches_unsharded():
     flat0 = jax.tree_util.tree_leaves(s0.params)
     flat1 = jax.tree_util.tree_leaves(s1.params)
     for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    set_current_mesh(None)
+
+
+def test_sp_ssd_train_step_matches_unsharded():
+    """Same end-to-end check for the SSD core (the family where the
+    reference threads its sequence_parallel flag, `CNN_Mamba.py:354,365`):
+    an L-sharded medssd train step must match the unsharded one."""
+    from medical_image_classification_tpu.parallel.mesh import (
+        make_mesh, set_current_mesh)
+    from medical_image_classification_tpu.train.optim import make_optimizer
+    from medical_image_classification_tpu.train.train_state import (
+        init_train_state, make_train_step)
+
+    assert jax.device_count() >= 8
+    make_mesh(tp=1, sp=4, devices=jax.devices()[:8])  # data=2, seq=4
+
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.RandomState(1).randint(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(np.array([0, 1, 2, 0], dtype=np.int32))
+    tx = make_optimizer("adam", 1e-3)
+
+    kw = dict(name="medssd", ssd_headdim=4)
+    model0 = _tiny(seq_axis=None, **kw)
+    state0 = init_train_state(model0, rng, imgs, tx)
+    step0 = make_train_step(model0, donate=False)
+    s0, m0 = step0(state0, imgs, labels, jax.random.PRNGKey(1))
+
+    model1 = _tiny(seq_axis="seq", **kw)
+    state1 = init_train_state(model1, rng, imgs, tx)
+    step1 = make_train_step(model1, donate=False)
+    s1, m1 = step1(state1, imgs, labels, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
     set_current_mesh(None)
