@@ -40,11 +40,21 @@ _F32 = jnp.float32
 
 
 def _dot(a, b, ta=False, tb=False):
-    """dot_general helper with fp32 accumulation."""
+    """dot_general helper with fp32 accumulation.
+
+    Precision is pinned explicitly: a global jax_default_matmul_precision
+    of "highest" (parity harnesses) fails Mosaic lowering on bf16 operands
+    ("Bad lhs type") if allowed to leak into precision=None.
+    """
     ca = 0 if ta else 1
     cb = 1 if tb else 0
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        prec = jax.lax.Precision.HIGHEST
+    else:
+        prec = jax.lax.Precision.DEFAULT
     return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
-                               preferred_element_type=_F32)
+                               preferred_element_type=_F32,
+                               precision=prec)
 
 
 def _block_prefix(pa, pb, nb):

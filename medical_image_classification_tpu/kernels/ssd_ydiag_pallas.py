@@ -64,10 +64,16 @@ def _dg(a, b, dimension_numbers, preferred_element_type=jnp.float32,
     Mosaic's DEFAULT precision rounds fp32 MXU operands to bf16 (measured
     ~1% error through exp(a_i - a_j) on-chip), while HIGHEST on native
     bf16 operands fails to compile ("Bad lhs type") — so HIGHEST is applied
-    exactly when both operands are fp32.
+    exactly when both operands are fp32.  The precision is always passed
+    explicitly: a global ``jax_default_matmul_precision=highest`` (set e.g.
+    by parity harnesses) would otherwise leak into ``precision=None`` and
+    hit the bf16 "Bad lhs type" Mosaic failure.
     """
-    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
-        precision = _P_HI
+    if precision is None:
+        if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+            precision = _P_HI
+        else:
+            precision = jax.lax.Precision.DEFAULT
     return jax.lax.dot_general(a, b, dimension_numbers,
                                preferred_element_type=preferred_element_type,
                                precision=precision)
