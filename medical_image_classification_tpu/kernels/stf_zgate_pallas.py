@@ -102,7 +102,10 @@ def _bwd_kernel(pt_ref, lz_ref, u_ref, dy_ref,
              (((1,), (1,)), ((), ())))                          # [pt, P] fp32
     dS = (dZ * Z * (1.0 - Z)).astype(mm_dtype)
     dpt_ref[0] = _dg(dS, lz, (((1,), (1,)), ((), ()))).astype(dpt_ref.dtype)
-    dlz_c = _dg(pooledT, dS, (((0,), (0,)), ((), ())))         # [C, P] fp32
+    # dlz is accumulated TRANSPOSED ([P, C]: C on 128-aligned lanes; the
+    # [C, P] orientation puts P — not a 128 multiple at the model's
+    # P=3136 — on the lane dim); the caller transposes the sum back.
+    dlz_c = _dg(dS, pooledT, (((0,), (0,)), ((), ())))         # [P, C] fp32
 
     @pl.when(p_i == 0)
     def _():
@@ -153,14 +156,17 @@ def _run_bwd(pooledT, lz, U, dY):
                                memory_space=pltpu.VMEM),
                   full, bpc],
         out_specs=[bpc, full,
-                   pl.BlockSpec((1, C, P), lambda b, i: (b, 0, 0),
+                   pl.BlockSpec((1, P, C), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((BB, P, C), pooledT.dtype),
                    jax.ShapeDtypeStruct((BB, P, C), U.dtype),
-                   jax.ShapeDtypeStruct((BB, C, P), jnp.float32)],
+                   jax.ShapeDtypeStruct((BB, P, C), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((P, C), jnp.float32)],
+        # the stack working set exceeds Mosaic's 16 MB default scoped-vmem
+        # limit at the stage-0 shape (P=3136) — raise it (v5e: 128 MB VMEM)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
         interpret=_INTERPRET,
     )(pooledT, lz, U, dY)
     return dpt, dU, dlzb
@@ -185,7 +191,8 @@ def _vjp_fwd(pooledT, lz, U):
 def _vjp_bwd(res, dY):
     pooledT, lz, U = res
     dpt, dU, dlzb = _run_bwd(pooledT, lz, U, dY.astype(pooledT.dtype))
-    return dpt, jnp.sum(dlzb, axis=0).astype(lz.dtype), dU
+    # dlzb is [BB, P, C] (transposed in-kernel; see _bwd_kernel)
+    return dpt, jnp.sum(dlzb, axis=0).T.astype(lz.dtype), dU
 
 
 stf_zgate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -130,7 +130,10 @@ def _bwd_kernel(w_ref, u1_ref, v_ref, du_ref,
     dS = E * (dE - rowdot)
     dSm = dS.astype(mm_dtype)
     dw_ref[0] = _dg(dSm, u1, (((1,), (1,)), ((), ()))).astype(dw_ref.dtype)
-    acc[...] += _dg(w.astype(mm_dtype), dSm, (((0,), (0,)), ((), ())))
+    # du1 is accumulated TRANSPOSED ([P, C]: P on sublanes, C on lanes) so
+    # the accumulator's lane dim stays 128-aligned at the model's P=3136
+    # (P % 128 == 64); the caller transposes the [P, C] sum back to [C, P].
+    acc[...] += _dg(dSm, w.astype(mm_dtype), (((0,), (0,)), ((), ())))
 
     @pl.when(lt_i == pl.num_programs(1) - 1)
     def _():
@@ -155,7 +158,8 @@ def _run_fwd(w, u1, V):
         out_shape=jax.ShapeDtypeStruct((BB, P, C), w.dtype),
         scratch_shapes=[pltpu.VMEM((P, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
         interpret=_INTERPRET,
     )(w, u1, V)
 
@@ -176,14 +180,18 @@ def _run_bwd(w, u1, V, dU):
                   pl.BlockSpec((1, P, C), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[blc, blc,
-                   pl.BlockSpec((1, C, P), lambda b, i: (b, 0, 0),
+                   pl.BlockSpec((1, P, C), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((BB, L, C), w.dtype),
                    jax.ShapeDtypeStruct((BB, L, C), V.dtype),
-                   jax.ShapeDtypeStruct((BB, C, P), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((C, P), jnp.float32)],
+                   jax.ShapeDtypeStruct((BB, P, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, C), jnp.float32)],
+        # the stack working set at lt=448 is ~26 MB — above Mosaic's 16 MB
+        # default scoped-vmem limit (a standalone jit of this call is a
+        # compile error without the raised limit; v5e has 128 MB VMEM)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
         interpret=_INTERPRET,
     )(w, u1, V, dU)
     return dw, dV, du1b
@@ -202,7 +210,8 @@ def _vjp_fwd(w, u1, V):
 def _vjp_bwd(res, dU):
     w, u1, V = res
     dw, dV, du1b = _run_bwd(w, u1, V, dU.astype(w.dtype))
-    return dw, jnp.sum(du1b, axis=0).astype(u1.dtype), dV
+    # du1b is [BB, P, C] (transposed in-kernel; see _bwd_kernel)
+    return dw, jnp.sum(du1b, axis=0).T.astype(u1.dtype), dV
 
 
 _mixer.defvjp(_vjp_fwd, _vjp_bwd)

@@ -101,19 +101,37 @@ def check_st_kernels():
 
     BB, L, P, C = 4, 3136, 3136, 256
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    # scale matters: at init-scale u1/u2 (~0.06) the mixer outputs are
+    # ~5e-3, dU = cos(U) rounds to exactly 1.0 in bf16, and the softmax
+    # jacobian annihilates a constant dU — the TRUE du1 (measured in f64)
+    # is below BOTH implementations' noise floors and the comparison is
+    # two noise fields.  0.6 puts the grad signal well above bf16 noise.
     w = (0.5 * jax.random.normal(ks[0], (BB, L, C))).astype(jnp.bfloat16)
-    u1 = jax.random.uniform(ks[1], (C, P), minval=-0.06,
-                            maxval=0.06).astype(jnp.bfloat16)
-    u2 = jax.random.uniform(ks[2], (C, C), minval=-0.06,
-                            maxval=0.06).astype(jnp.bfloat16)
+    u1 = jax.random.uniform(ks[1], (C, P), minval=-0.6,
+                            maxval=0.6).astype(jnp.bfloat16)
+    u2 = jax.random.uniform(ks[2], (C, C), minval=-0.6,
+                            maxval=0.6).astype(jnp.bfloat16)
 
     def stl_ref(w, u1, u2):
         A = jax.nn.softmax((w @ u1).astype(jnp.float32), -1).astype(w.dtype)
         return jnp.einsum("blp,blc->bpc", A, w @ u2)
 
+    # grads are compared as VJPs against an EXPLICIT random cotangent:
+    # a scalar loss like sum(sin(Y)) has dY = cos(Y), and |Y| here is
+    # O(100) — bf16-level fwd differences between the two implementations
+    # then fully decorrelate cos(Y), so a loss-based comparison measures
+    # chaos, not kernel error (measured: 2.3e-1 "error" via sin-loss vs
+    # 5e-3 true VJP disagreement at identical cotangents).
+    def vjp_cmp(fn_k, fn_r, args, dY):
+        _, vk = jax.vjp(fn_k, *args)
+        _, vr = jax.vjp(fn_r, *args)
+        gk = jax.jit(vk)(dY)
+        gr = jax.jit(vr)(dY)
+        return max(float(jnp.max(jnp.abs((p - r).astype(jnp.float32)))) /
+                   (float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-9)
+                   for p, r in zip(gk, gr))
+
     assert smp.stl_mixer_supported(L, P, C)
-    loss = lambda fn: (lambda a: jnp.sum(jnp.sin(
-        fn(*a).astype(jnp.float32))))
     y = jax.jit(smp.stl_mixer)(w, u1, u2)
     y_ref = jax.jit(stl_ref)(w, u1, u2)
     scale = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-9
@@ -121,13 +139,11 @@ def check_st_kernels():
                                 y_ref.astype(jnp.float32)))) / scale
     print(f"[4] stl_mixer fwd max rel err (bf16): {err:.2e}")
     assert err < 5e-2
-    gp = jax.jit(jax.grad(loss(smp.stl_mixer)))((w, u1, u2))
-    gr = jax.jit(jax.grad(loss(stl_ref)))((w, u1, u2))
-    worst = max(float(jnp.max(jnp.abs((p - r).astype(jnp.float32)))) /
-                (float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-9)
-                for p, r in zip(gp, gr))
+    dY = (0.5 * jax.random.normal(jax.random.PRNGKey(9),
+                                  y_ref.shape)).astype(jnp.bfloat16)
+    worst = vjp_cmp(smp.stl_mixer, stl_ref, (w, u1, u2), dY)
     print(f"[5] stl_mixer grads worst rel err (bf16): {worst:.2e}")
-    assert worst < 8e-2
+    assert worst < 5e-2
 
     pooledT = (0.5 * jax.random.normal(ks[3], (BB, P, C))).astype(jnp.bfloat16)
     U = y_ref
@@ -144,13 +160,9 @@ def check_st_kernels():
                                 y2_ref.astype(jnp.float32)))) / scale
     print(f"[6] stf_zgate fwd max rel err (bf16): {err:.2e}")
     assert err < 5e-2
-    gp = jax.jit(jax.grad(loss(szp.stf_zgate)))((pooledT, u1, U))
-    gr = jax.jit(jax.grad(loss(z_ref)))((pooledT, u1, U))
-    worst = max(float(jnp.max(jnp.abs((p - r).astype(jnp.float32)))) /
-                (float(jnp.max(jnp.abs(r.astype(jnp.float32)))) + 1e-9)
-                for p, r in zip(gp, gr))
+    worst = vjp_cmp(szp.stf_zgate, z_ref, (pooledT, u1, U), dY)
     print(f"[7] stf_zgate grads worst rel err (bf16): {worst:.2e}")
-    assert worst < 8e-2
+    assert worst < 5e-2
 
 
 if __name__ == "__main__":
