@@ -117,6 +117,35 @@ def test_native_decoder_matches_cv2(tmp_path):
         assert np.mean(diff) < 3.0, f"mean abs diff {np.mean(diff)}"
 
 
+def test_native_decoder_scaled_jpeg_path(tmp_path):
+    """Large smooth JPEG: the decoder's IDCT-scaled + region-cropped fast
+    path engages (496x512 -> 4/8 scale for a 224 target) and must stay
+    geometrically exact vs a full-resolution reference resample."""
+    from medical_image_classification_tpu.data import native_loader
+    if not native_loader.native_available():
+        pytest.skip("no native toolchain")
+    import cv2
+    yy, xx = np.mgrid[0:496, 0:512].astype(np.float32)
+    img = np.clip(120 + 60 * np.sin(yy / 37.0) + 40 * np.cos(xx / 53.0)
+                  + 80 * np.exp(-((yy - 130) ** 2 + (xx - 310) ** 2)
+                                / (2 * 40.0 ** 2)), 0, 255).astype(np.uint8)
+    img = np.stack([img] * 3, -1)
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    out = native_loader.decode_batch([p], 224, train=False, seed=0)[0]
+    ref = cv2.resize(cv2.imread(p)[:, :, ::-1], (224, 224),
+                     interpolation=cv2.INTER_AREA)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    # smooth content: every downsampling filter agrees closely; a region
+    # offset bug would show up as a large max diff at the blob edge
+    assert diff.mean() < 1.0 and diff.max() <= 20, (diff.mean(), diff.max())
+    # train mode on the scaled path stays deterministic per seed
+    a = native_loader.decode_batch([p, p], 224, train=True, seed=3)
+    b = native_loader.decode_batch([p, p], 224, train=True, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a[0], a[1])
+
+
 def test_native_decoder_train_mode(tmp_path):
     from medical_image_classification_tpu.data import native_loader
     if not native_loader.native_available():
