@@ -108,6 +108,10 @@ def _pick_chunk(L: int, chunk_size: int, N: int = 512) -> int:
     per-chunk state is trivial ([B, H, P, N] ~ 1 MB), so l^2 work dominates
     everywhere and smaller chunks win; a pad-free divisor in [96, 256] also
     keeps l inside the fused-kernel window where one exists (L=3136 -> 224).
+    The divisor search is NOT 8-stepped: only the fused Pallas kernel needs
+    l % 8 (its gate re-checks), and XLA handles any chunk — the LARGEST
+    pad-free divisor wins (L=784 -> 196: 0.49 ms fwd+bwd vs 1.20 at the
+    8-stepped pick 112, measured v5e b8 N=64; c=392 ties at 0.52).
     """
     if N >= 256:
         if 2 * L <= 7 * chunk_size:
@@ -118,7 +122,7 @@ def _pick_chunk(L: int, chunk_size: int, N: int = 512) -> int:
         return chunk_size
     if L <= max(chunk_size, 256):
         return -(-L // 8) * 8                       # one chunk, 8-aligned
-    for c in range(min(chunk_size, 256), 95, -8):   # largest pad-free divisor
+    for c in range(min(chunk_size, 256), 95, -1):   # largest pad-free divisor
         if L % c == 0:
             return c
     return chunk_size
