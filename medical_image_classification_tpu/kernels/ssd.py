@@ -184,19 +184,6 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     A_cum_t = _cumsum_last(dtA_t)                        # [B, nc, H, l]
     A_cum = jnp.moveaxis(A_cum_t, 3, 2)                  # [B, nc, l, H]
 
-    # weight dt into B (discretisation): dB_t = dt_t * B_t.  The product is
-    # materialised ONCE in the matmul dtype (bf16 training: an fp32 dtx here
-    # was re-written to HBM three times — raw, head-major copy, decayed copy
-    # — and the elementwise passes over it scaled superlinearly with batch;
-    # measured s0 b32 fwd+bwd 42.0 -> see below)
-    dtx_r = ((xc * dtc.astype(mm_dtype)[..., None])
-             .reshape(Bsz, nc, chunk_size, G, rep, P))   # [B, nc, l, G, r, P]
-    # head-major copy feeds the chunk-state einsum (measured ~2 ms/step
-    # cheaper than the l-major orientation at MedSSD shapes); Y_diag below
-    # keeps the l-major orientation — the head-major variant of THAT dot
-    # measured ~3 ms slower plus a final transpose-back
-    dtx_h = jnp.moveaxis(dtx_r, 2, 4)                    # [B, nc, G, r, l, P]
-
     from medical_image_classification_tpu.kernels import (
         ssd_fused_pallas,
         ssd_ydiag_pallas,
@@ -210,17 +197,35 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
         # whole SSD (masked-decay matmuls + state walk) in one Pallas
         # kernel; the [B, nc, H, P, N] state stack and every l^2 tensor
         # stay in VMEM (bwd walks chunks in reverse from saved boundary
-        # states — see ssd_fused_pallas.py)
+        # states — see ssd_fused_pallas.py).  x moves FLAT and l-major
+        # ([B, nc, l, H*P], a free view) and dtx = x * dt happens in-kernel:
+        # the v1 head-major dtx cost an HBM materialisation plus [l, H]
+        # transpose relayouts on each of dtx-in / y-out / dy-in / dx-out
+        # (~3 ms/step at MedSSD b16, trace in STATUS.md).
         dte_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)     # [B, nc, H, l]
         cdec = jnp.exp(A_cum_t[..., -1])                 # [B, nc, H]
-        yh = ssd_fused_pallas.ssd_fused(
+        dtp_t = jnp.moveaxis(dtc, 3, 2)                  # [B, nc, H, l] fp32
+        y = ssd_fused_pallas.ssd_fused(
             Cc.astype(mm_dtype).reshape(Bsz, nc, chunk_size, N),
             Bc.astype(mm_dtype).reshape(Bsz, nc, chunk_size, N),
-            A_cum_t, dte_t, cdec,
-            dtx_h.reshape(Bsz, nc, H, chunk_size, P))    # [B, nc, H, l, P]
-        y = jnp.moveaxis(yh, 2, 3).reshape(Bsz, Lp, H, P)[:, :L]
+            A_cum_t, dte_t, cdec, dtp_t.astype(jnp.float32),
+            x.reshape(Bsz, nc, chunk_size, H * P))       # [B, nc, l, H*P]
+        y = y.reshape(Bsz, Lp, H, P)[:, :L]
         return _ssd_epilogue(y, x, Bsz, Lp, L, H, P, D, z, mm_dtype,
                              out_dtype)
+
+    # weight dt into B (discretisation): dB_t = dt_t * B_t.  The product is
+    # materialised ONCE in the matmul dtype (bf16 training: an fp32 dtx here
+    # was re-written to HBM three times — raw, head-major copy, decayed copy
+    # — and the elementwise passes over it scaled superlinearly with batch;
+    # measured s0 b32 fwd+bwd 42.0 -> see below)
+    dtx_r = ((xc * dtc.astype(mm_dtype)[..., None])
+             .reshape(Bsz, nc, chunk_size, G, rep, P))   # [B, nc, l, G, r, P]
+    # head-major copy feeds the chunk-state einsum (measured ~2 ms/step
+    # cheaper than the l-major orientation at MedSSD shapes); Y_diag below
+    # keeps the l-major orientation — the head-major variant of THAT dot
+    # measured ~3 ms slower plus a final transpose-back
+    dtx_h = jnp.moveaxis(dtx_r, 2, 4)                    # [B, nc, G, r, l, P]
 
     Bc_h = jnp.moveaxis(Bc, 2, 3).astype(mm_dtype)       # [B, nc, G, l, N]
 
