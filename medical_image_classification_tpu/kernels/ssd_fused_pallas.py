@@ -82,6 +82,12 @@ _MAX_L = 256
 # VMEM feasibility budget for the bwd working set (the bigger pass)
 _VMEM_BUDGET = int(10 * 1024 * 1024)
 
+# Mosaic's default 16 MB scoped-vmem stack is 132 KB short of the bwd
+# kernel's working set at the fusion-decoder fp32 shape (H=16, l=256,
+# N=512: the unrolled head loop's fp32 [l, N] matmul temporaries spill) —
+# raise it like the ST kernels do; v5e has 128 MB VMEM per core
+_VMEM_LIMIT = int(32 * 1024 * 1024)
+
 
 def _heads_per_group(H: int, P: int) -> int:
     """Heads per grid step: enough that the x/y block's minor dim hpg*P is
@@ -108,6 +114,12 @@ def ssd_fused_supported(l: int, N: int, P: int, G: int, nc: int,
     if not (_INTERPRET or jax.default_backend() == "tpu"):
         return False
     if not _vmem_ok(l, N, P, H, itemsize):
+        return False
+    # fp32 stays on the XLA path (interpret-mode tests excepted): the fp32
+    # [l, N] matmul temporaries double the kernel working set and spill —
+    # measured vfefm_2b2 fp32 12.4 pairs/s fused vs 16.3 on XLA, while
+    # bf16 wins end-to-end on every SSD model (STATUS.md sixth pass)
+    if itemsize > 2 and not _INTERPRET:
         return False
     # N % 128: at N=64 (ST-SSD / CNN-Mamba ref_flat) B/C/state lane-pad to
     # 128 lanes, halving MXU efficiency — measured on-device st0 fwd+bwd
@@ -312,7 +324,8 @@ def _run_fwd(Cc, Bc, acum, dte, cdec, dtp, x, save: bool):
         scratch_shapes=[pltpu.VMEM((l, l), jnp.float32),
                         pltpu.VMEM((H, P, N), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
     )(Cc, Bc, acum, dte, cdec, dtp, x)
     return (res[0], res[1]) if save else (res[0], None)
@@ -361,7 +374,8 @@ def _run_bwd(Cc, Bc, acum, dte, cdec, dtp, x, Ssave, dy):
                         pltpu.VMEM((H, l), jnp.float32),
                         pltpu.VMEM((H, l), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
     )(Cc, Bc, acum, dte, cdec, dtp, x, Ssave, dy)
     return dx, dacum, ddte, ddtp, dcdec, dC, dB
