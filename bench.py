@@ -13,17 +13,33 @@ through the axon relay — see utils/timing.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Robustness (the round-2 driver bench was lost to rc=124 — the axon TPU
+relay was down and backend init hung past the driver timeout; compiles are
+also always COLD because the axon plugin does not support the persistent
+compilation cache): the default entry point is a WATCHDOG that runs the
+measurement in a child process (``bench.py --worker``) under a deadline
+(env ``BENCH_DEADLINE_SECS``, default 1500 s) and traps the driver's own
+`timeout` SIGTERM.  The worker checkpoints partial results to a scratch
+file after the train headline, after infer, and after every extra model;
+on child timeout/crash/SIGTERM the watchdog prints the best available JSON
+line — partial results, else the last successful full run
+(``BENCH_LAST_GOOD.json``, clearly marked STALE with its measurement
+timestamp), else a zero-value line carrying the error — so the driver
+always records a parseable result.
 """
 
 import argparse
 import json
 import os
+import sys
+import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD_PATH = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", "1500"))
 
 # Nominal single-GPU PyTorch throughput anchor for MedMamba-T train at
 # batch 32 / 224^2 (selective-scan-bound; no published reference number
@@ -33,6 +49,9 @@ REF_TORCH_IPS = 200.0
 
 def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
           dtype: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from medical_image_classification_tpu.models import create_model
     from medical_image_classification_tpu.train.optim import make_optimizer
     from medical_image_classification_tpu.train.train_state import (
@@ -81,6 +100,9 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
     """Fusion-family train throughput (pairs/sec): the reference anchor
     config (batch 2, 256^2, Adam, SSIM+grad loss — `CrossMamba/train.py`,
     fp32).  dtype="bf16" measures the compute-dtype override."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     import optax
     from medical_image_classification_tpu.models.registry import (
         create_fusion_model)
@@ -126,7 +148,7 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
     return {"train_ips": batch / t}
 
 
-def main():
+def _parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="medmamba")
     p.add_argument("--batch", type=int, default=32)
@@ -139,49 +161,216 @@ def main():
                    help="comma list of model[:batch[:dtype]] also measured "
                         "and reported under extra (VERDICT r1: track medssd "
                         "+ one fusion model per round); '' disables")
-    args = p.parse_args()
+    p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--partial-file", default="", help=argparse.SUPPRESS)
+    p.add_argument("--no-watchdog", action="store_true",
+                   help="run in-process without the deadline watchdog")
+    return p.parse_args(argv)
+
+
+def _checkpoint(out, path):
+    """Atomically persist the in-progress result for the watchdog."""
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+
+
+def worker_main(args):
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon plugin force-selects itself at interpreter start; honor
+        # an explicit platform override (CPU testing / relay outages)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    t0 = time.time()
+    # leave headroom for the watchdog to collect partials before the
+    # driver's own timeout fires
+    soft_budget = DEADLINE_SECS * 0.8
 
     n_dev = jax.local_device_count()
-    res = bench(args.model, args.batch, args.size, args.iters, args.mode,
-                args.dtype)
-    train_ips = res.get("train_ips", 0.0)
-    infer_ips = res.get("infer_ips", 0.0)
-    headline = train_ips if train_ips else infer_ips
-    out = {
-        "metric": f"{args.model} train images/sec/chip @{args.size} "
-                  f"b{args.batch} {args.dtype}",
-        "value": round(headline / n_dev, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(headline / n_dev / REF_TORCH_IPS, 3),
-        "extra": {
-            "train_ips": round(train_ips, 2),
-            "infer_ips": round(infer_ips, 2),
-            "devices": n_dev,
-            "backend": jax.default_backend(),
-        },
-    }
+
+    def make_out(train_ips, infer_ips):
+        headline = train_ips if train_ips else infer_ips
+        return {
+            "metric": f"{args.model} train images/sec/chip @{args.size} "
+                      f"b{args.batch} {args.dtype}",
+            "value": round(headline / n_dev, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(headline / n_dev / REF_TORCH_IPS, 3),
+            "extra": {
+                "train_ips": round(train_ips, 2),
+                "infer_ips": round(infer_ips, 2),
+                "devices": n_dev,
+                "backend": jax.default_backend(),
+            },
+        }
+
+    if args.mode == "both":
+        # measure + checkpoint train first: a timeout after the train
+        # compile still salvages the headline number
+        res = bench(args.model, args.batch, args.size, args.iters, "train",
+                    args.dtype)
+        train_ips = res.get("train_ips", 0.0)
+        out = make_out(train_ips, 0.0)
+        out["extra"]["secs_to_train_number"] = round(time.time() - t0, 1)
+        _checkpoint(out, args.partial_file)
+        res = bench(args.model, args.batch, args.size, args.iters, "infer",
+                    args.dtype)
+        infer_ips = res.get("infer_ips", 0.0)
+    else:
+        res = bench(args.model, args.batch, args.size, args.iters, args.mode,
+                    args.dtype)
+        train_ips = res.get("train_ips", 0.0)
+        infer_ips = res.get("infer_ips", 0.0)
+    out = make_out(train_ips, infer_ips)
+    out["extra"]["secs_to_headline"] = round(time.time() - t0, 1)
+    _checkpoint(out, args.partial_file)
     from medical_image_classification_tpu.models.registry import (
         available_fusion_models)
     for spec in filter(None, args.extra_models.split(",")):
+        if time.time() - t0 > soft_budget:
+            out["extra"]["extras_skipped_after"] = spec
+            break
         parts = spec.split(":")
         name = parts[0]
         b = int(parts[1]) if len(parts) > 1 and parts[1] else args.batch
         fdtype = parts[2] if len(parts) > 2 else "fp32"
         key = name if fdtype == "fp32" else f"{name}_{fdtype}"
-        try:
-            if name in available_fusion_models():
-                r = bench_fusion(name, b, 256, max(args.iters // 2, 5),
-                                 dtype=fdtype)
-            else:
-                r = bench(name, b, args.size, max(args.iters // 2, 5),
-                          "both", args.dtype)
-            out["extra"][f"{key}_train_ips"] = round(r.get("train_ips", 0), 2)
-            out["extra"][f"{key}_infer_ips"] = round(r.get("infer_ips", 0), 2)
-            out["extra"][f"{key}_batch"] = b
-        except Exception as e:  # pragma: no cover — extras must not kill
-            out["extra"][f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+        # one retry: remote_compile over the relay throws transient
+        # INTERNAL errors ("response body closed") under load
+        for attempt in (0, 1):
+            try:
+                if name in available_fusion_models():
+                    r = bench_fusion(name, b, 256, max(args.iters // 2, 5),
+                                     dtype=fdtype)
+                else:
+                    r = bench(name, b, args.size, max(args.iters // 2, 5),
+                              "both", args.dtype)
+                out["extra"][f"{key}_train_ips"] = round(r.get("train_ips", 0), 2)
+                out["extra"][f"{key}_infer_ips"] = round(r.get("infer_ips", 0), 2)
+                out["extra"][f"{key}_batch"] = b
+                out["extra"].pop(f"{key}_error", None)
+                break
+            except Exception as e:  # pragma: no cover — extras must not kill
+                out["extra"][f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+                if time.time() - t0 > soft_budget:
+                    break
+        _checkpoint(out, args.partial_file)
     print(json.dumps(out))
 
 
+def _emit(out):
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+def _fallback(reason):
+    """Child died or timed out: print the best JSON line we have."""
+    if os.path.exists(LAST_GOOD_PATH):
+        try:
+            with open(LAST_GOOD_PATH) as f:
+                rec = json.load(f)
+            out = rec["result"]
+            out.setdefault("extra", {})
+            out["extra"]["stale"] = True
+            out["extra"]["stale_measured_at"] = rec.get("measured_at", "?")
+            out["extra"]["stale_reason"] = reason
+            out["metric"] += (f" [STALE: prior measurement from "
+                              f"{rec.get('measured_at', '?')}; {reason}]")
+            _emit(out)
+            return
+        except Exception:
+            pass
+    _emit({"metric": "medmamba train images/sec/chip (bench failed)",
+           "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+           "extra": {"error": reason}})
+
+
+def _emit_partial_or_fallback(partial, reason):
+    if os.path.exists(partial):
+        try:
+            with open(partial) as f:
+                out = json.load(f)
+            out.setdefault("extra", {})
+            out["extra"]["partial"] = True
+            out["extra"]["partial_reason"] = reason
+            _emit(out)
+            return
+        except Exception:
+            pass
+    _fallback(reason)
+
+
+def watchdog_main():
+    """Run the worker under a deadline; always print one JSON line.
+
+    The driver wraps `python bench.py` in coreutils `timeout` (round-2
+    record: rc=124, no output captured) — so in addition to our own
+    deadline we trap SIGTERM/SIGINT and print the freshest worker
+    checkpoint before dying.  Whatever kills us first, the stdout tail
+    carries a parseable result.
+    """
+    import signal
+    import subprocess
+    import tempfile
+    fd, partial = tempfile.mkstemp(suffix=".json", prefix="bench_partial_")
+    os.close(fd)
+    os.unlink(partial)
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+           "--partial-file", partial] + sys.argv[1:]
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+
+    def on_signal(signum, frame):  # driver timeout fired: salvage + exit
+        try:
+            proc.kill()
+        except OSError:
+            pass
+        _emit_partial_or_fallback(
+            partial, f"bench watchdog received signal {signum} "
+                     f"(driver timeout) after {time.time() - t0:.0f}s")
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    timed_out = False
+    try:
+        stdout, _ = proc.communicate(timeout=DEADLINE_SECS)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        proc.kill()
+        stdout, _ = proc.communicate()
+    rc = proc.returncode
+    lines = [ln for ln in (stdout or b"").decode().strip().splitlines()
+             if ln.startswith("{")]
+    if not timed_out and rc == 0 and lines:
+        out = json.loads(lines[-1])
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                        time.gmtime()),
+                           "wall_secs": round(time.time() - t0, 1),
+                           "result": out}, f, indent=1)
+        except OSError:
+            pass
+        _emit(out)
+    else:
+        reason = (f"bench worker exceeded BENCH_DEADLINE_SECS="
+                  f"{DEADLINE_SECS:.0f}s (axon relay down or cold-compile "
+                  f"overrun)" if timed_out
+                  else f"bench worker exited rc={rc}")
+        _emit_partial_or_fallback(partial, reason)
+    if os.path.exists(partial):
+        os.unlink(partial)
+
+
 if __name__ == "__main__":
-    main()
+    _args = _parse_args()
+    if _args.worker or _args.no_watchdog:
+        worker_main(_args)
+    else:
+        watchdog_main()

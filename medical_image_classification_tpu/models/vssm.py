@@ -89,7 +89,12 @@ class SSConvBlock(nn.Module):
         # with the residual add (exact: one nonzero product per output lane;
         # measured ~11x over the swapaxes form).  fp32 streams would round
         # operands to bf16 on the MXU at default precision, so they take the
-        # stack(-1)+reshape form instead (bit-exact, ~6x).
+        # stack(-1)+reshape form instead (bit-exact, ~6x).  Caveat: a single
+        # Inf/NaN input lane smears to NaN across all 2*half_c output
+        # channels at that pixel (0*Inf=NaN in the zero-weight products) —
+        # fine for NaN-skip/loss-scale logic (NaN still propagates), but if
+        # fp16 runs with loss scaling ever need per-channel NaN forensics,
+        # gate this path to bf16 only.
         b, h, w, half_c = l.shape
         if l.dtype in (jnp.bfloat16, jnp.float16):
             pe = np.zeros((half_c, 2 * half_c), np.float32)
