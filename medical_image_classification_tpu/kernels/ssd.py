@@ -128,6 +128,34 @@ def _pick_chunk(L: int, chunk_size: int, N: int = 512) -> int:
     return chunk_size
 
 
+# Re-chunk out-of-window stages onto the fused kernel?  MEASURED OFF (r3):
+# at MedSSD stage 1 (L=784, H=16, N=512) the isolated kernel A/B favours
+# 4 x 196 fused over single-chunk XLA (0.65 vs 0.73 ms fwd+bwd,
+# scripts/ssd_fused_parity.py), but END-TO-END the override costs 1.1
+# ms/step (48.48 -> 49.58 ms, b16 train) — the single-chunk XLA stage
+# fuses its epilogue/B/C-grad work into neighbouring ops and skips the
+# boundary-state saves.  Kept opt-in for future shapes; the l=196 kernel
+# window itself is parity-tested (tests/test_ssd_fused.py).
+_FUSED_CHUNK_OVERRIDE = False
+
+
+def _effective_chunk(L: int, chunk_size: int, N: int, P: int, G: int,
+                     H: int, itemsize: int, fused_eligible: bool) -> int:
+    """_pick_chunk, then (opt-in) a fused-kernel window override."""
+    from medical_image_classification_tpu.kernels import ssd_fused_pallas
+
+    c0 = _pick_chunk(L, chunk_size, N)
+    if (not _FUSED_CHUNK_OVERRIDE or not fused_eligible
+            or ssd_fused_pallas.ssd_fused_supported(
+                c0, N, P, G, -(-L // c0), H, itemsize)):
+        return c0
+    for c in range(ssd_fused_pallas._MAX_L, ssd_fused_pallas._MIN_L - 1, -4):
+        if (L % c == 0 and ssd_fused_pallas.ssd_fused_supported(
+                c, N, P, G, L // c, H, itemsize)):
+            return c
+    return c0
+
+
 def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
                 dt_bias=None, dt_softplus=True, initial_state=None,
                 return_final_state=False, acc_dtype=jnp.float32,
@@ -156,8 +184,17 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     if dt_softplus:
         dt = jax.nn.softplus(dt)
 
+    from medical_image_classification_tpu.kernels import (
+        ssd_fused_pallas,
+        ssd_ydiag_pallas,
+    )
+
     if adaptive_chunk:
-        chunk_size = _pick_chunk(L, chunk_size, N)
+        fused_eligible = (_USE_SSD_FUSED and G == 1 and initial_state is None
+                          and not return_final_state)
+        chunk_size = _effective_chunk(L, chunk_size, N, P, G, H,
+                                      jnp.dtype(mm_dtype).itemsize,
+                                      fused_eligible)
     pad = (-L) % chunk_size
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -183,11 +220,6 @@ def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
     dtA_t = jnp.moveaxis(dtA, 3, 2)                      # [B, nc, H, l]
     A_cum_t = _cumsum_last(dtA_t)                        # [B, nc, H, l]
     A_cum = jnp.moveaxis(A_cum_t, 3, 2)                  # [B, nc, l, H]
-
-    from medical_image_classification_tpu.kernels import (
-        ssd_fused_pallas,
-        ssd_ydiag_pallas,
-    )
 
     if (_USE_SSD_FUSED and G == 1 and initial_state is None
             and not return_final_state

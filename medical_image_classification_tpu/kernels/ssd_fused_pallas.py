@@ -75,8 +75,11 @@ if _PALLAS_OK:
 # test hook: interpreter mode (golden tests on CPU)
 _INTERPRET = False
 
-# chunk-length window where the fused kernel measures ahead of XLA
-_MIN_L = 224
+# chunk-length window where the fused kernel measures ahead of XLA.
+# 196 admits MedSSD stage 1 (L=784 -> 4 x 196 pad-free): single-chunk XLA
+# measured 5.83 ms fwd+bwd there, the fused walk is state-traffic-free so
+# more/smaller chunks cost almost nothing (see ssd.py::_pick_chunk notes)
+_MIN_L = 196
 _MAX_L = 256
 
 # VMEM feasibility budget for the bwd working set (the bigger pass)
@@ -126,7 +129,10 @@ def ssd_fused_supported(l: int, N: int, P: int, G: int, nc: int,
     # 3.69 ms fused vs 1.78 ms for the pad-free chunked XLA path
     # (scripts/ssd_fused_parity.py), so small-N stays on XLA now that
     # N-aware _pick_chunk keeps its decay tensors small
-    return (G == 1 and nc >= 2 and _MIN_L <= l <= _MAX_L and l % 8 == 0
+    # l % 4 (not 8): the l axis is always a FULL array dim of its blocks
+    # ([l, N] / [l, hpg*P] sublanes, [H, l] lanes), so Mosaic pads it
+    # internally — l=196 costs a 2% sublane pad, measured fine
+    return (G == 1 and nc >= 2 and _MIN_L <= l <= _MAX_L and l % 4 == 0
             and N % 128 == 0 and P % 8 == 0)
 
 

@@ -22,6 +22,7 @@ from medical_image_classification_tpu.utils.timing import chained_device_time
 
 CASES = {
     "medssd0": dict(B=16, L=3136, H=8, P=64, N=512),
+    "medssd1": dict(B=16, L=784, H=16, P=64, N=512),   # 4 x 196 fused (r3)
     "medssd2": dict(B=16, L=196, H=32, P=64, N=512),
     "st0": dict(B=8, L=3136, H=8, P=64, N=64),
 }

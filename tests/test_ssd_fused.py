@@ -98,6 +98,59 @@ def test_fused_small_state_n64(monkeypatch):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+def test_fused_l196_window(dtype=jnp.float32):
+    """l=196 (MedSSD stage 1: 784 = 4 x 196) joined the fused window in r3;
+    parity at the real chunk length, reduced H/P/N."""
+    args = _inputs(B=1, L=784, H=2, P=8, N=128, dtype=dtype)
+    assert sf.ssd_fused_supported(196, 128, 8, 1, 4, 2)
+
+    def loss(fused):
+        x, dt, A, Bm, Cm, D, bias = args
+
+        def f(x_, dt_):
+            y = _run(x_, dt_, A, Bm, Cm, D, bias, chunk=196, fused=fused)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(x, dt)
+
+    got = _run(*args, chunk=196, fused=True)
+    want = _run(*args, chunk=196, fused=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    for gf, gx, name in zip(loss(True), loss(False), ["dx", "ddt"]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_effective_chunk_fused_override(monkeypatch):
+    """L=784 at large N picks single-chunk for XLA but 4 x 196 when the
+    fused kernel is eligible; ineligible configs keep the XLA pick."""
+    # the production gate, not the interpret-relaxed one from the fixture
+    # (pretend-TPU backend so the gate's backend/itemsize checks apply)
+    monkeypatch.setattr(sf.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(ssd_mod, "_FUSED_CHUNK_OVERRIDE", True)
+    sf._INTERPRET = False
+    sf._MIN_L = 196
+    try:
+        with_fused = ssd_mod._effective_chunk(784, 256, 512, 64, 1, 16, 2,
+                                              True)
+        assert with_fused == 196
+        xla_only = ssd_mod._effective_chunk(784, 256, 512, 64, 1, 16, 2,
+                                            False)
+        assert xla_only == 784  # single chunk (8-aligned already)
+        # N=64 (st_ssd): fused gate rejects (N % 128) -> XLA divisor pick
+        small_n = ssd_mod._effective_chunk(784, 256, 64, 64, 1, 8, 2, True)
+        assert small_n == 196  # same as _pick_chunk's small-N divisor search
+        # fp32 stays on the XLA pick (fused gate rejects itemsize > 2)
+        fp32 = ssd_mod._effective_chunk(784, 256, 512, 64, 1, 16, 4, True)
+        assert fp32 == 784
+        # stage 0 keeps its in-window pick untouched
+        assert ssd_mod._effective_chunk(3136, 256, 512, 64, 1, 8, 2,
+                                        True) == 224
+    finally:
+        sf._INTERPRET = True
+        sf._MIN_L = 8
+
+
 def test_fused_forward_vs_seq_ref():
     x, dt, A, Bm, Cm, D, bias = _inputs(L=80)
     got = _run(x, dt, A, Bm, Cm, D, bias, chunk=16, fused=True)
