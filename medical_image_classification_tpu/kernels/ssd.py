@@ -156,6 +156,91 @@ def _effective_chunk(L: int, chunk_size: int, N: int, P: int, G: int,
     return c0
 
 
+def ssd_dirs_chunk(L: int, chunk_size: int, N: int, P: int, H4: int,
+                   itemsize: int = 2):
+    """Chunk size for the flip-free direction-folded fused path, or None.
+
+    Requires a pad-free chunk inside the fused window (the direction
+    mirroring maps chunk c <-> nc-1-c, so padding would corrupt the
+    mirrored reads).
+    """
+    from medical_image_classification_tpu.kernels import (
+        ssd_fused_dirs_pallas as sfd)
+
+    if not _USE_SSD_FUSED:
+        return None
+    c = _pick_chunk(L, chunk_size, N)
+    if L % c == 0 and sfd.ssd_fused_dirs_supported(c, N, P, L // c, H4,
+                                                   itemsize):
+        return c
+    for c in range(min(chunk_size, sfd._MAX_L), sfd._MIN_L - 1, -4):
+        if (L % c == 0 and sfd.ssd_fused_dirs_supported(c, N, P, L // c,
+                                                        H4, itemsize)):
+            return c
+    return None
+
+
+def ssd_chunked_dirs(x2, dt4, A, B2, C2, chunk_size: int, D=None,
+                     dt_bias=None, dt_softplus=True,
+                     acc_dtype=jnp.float32):
+    """Four-direction folded SSD from d0/d1 bytes only.
+
+    x2  : [B, L, 2*nh, P]   d0|d1 head sections (dirs 2/3 = flips, never
+                            materialised — the kernel mirrors chunks)
+    dt4 : [B, L, 4*nh]      dir-major dt rows INCLUDING the flipped rows
+                            for dirs 2/3 (tiny; built by the caller)
+    A, D, dt_bias : [4*nh] (D optionally [4*nh, P])
+    B2, C2 : [B, L, 2*gn]   d0|d1 group slabs (ref_flat coupling: the
+                            flipped halves are assembled in-kernel)
+
+    Returns y [B, L, 4*nh, P] with directions 2/3 already in d0/d1 order
+    (use `cross_merge_noflip_time_major`).  Caller must have validated the
+    shape via `ssd_dirs_chunk`.
+    """
+    from medical_image_classification_tpu.kernels import (
+        ssd_fused_dirs_pallas as sfd)
+
+    out_dtype = x2.dtype
+    mm_dtype = x2.dtype
+    Bsz, L, H2, P = x2.shape
+    H4 = 2 * H2
+    assert L % chunk_size == 0, "dirs path requires pad-free chunks"
+    nc = L // chunk_size
+    l = chunk_size
+
+    dt = dt4.astype(acc_dtype)
+    if dt_bias is not None:
+        dt = dt + dt_bias.astype(acc_dtype)
+    if dt_softplus:
+        dt = jax.nn.softplus(dt)
+    dtc = dt.reshape(Bsz, nc, l, H4)
+    dtA = dtc * A.astype(acc_dtype)                      # [B, nc, l, H4]
+    dtA_t = jnp.moveaxis(dtA, 3, 2)                      # [B, nc, H4, l]
+    A_cum_t = _cumsum_last(dtA_t)
+    dte_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)
+    cdec = jnp.exp(A_cum_t[..., -1])
+    dtp_t = jnp.moveaxis(dtc, 3, 2).astype(jnp.float32)
+
+    y = sfd.ssd_fused_dirs(
+        C2.astype(mm_dtype).reshape(Bsz, nc, l, -1),
+        B2.astype(mm_dtype).reshape(Bsz, nc, l, -1),
+        A_cum_t, dte_t, cdec, dtp_t,
+        x2.reshape(Bsz, nc, l, H2 * P))                  # [B, nc, l, H4*P]
+    y = y.reshape(Bsz, L, H4, P)
+    if D is not None:
+        # directions 2/3 are d0/d1-ordered, so their D-skip term uses the
+        # UNFLIPPED x2 sections — broadcast over the direction-class axis
+        # (no [B, L, 4nh, P] x copy)
+        Dm = D.astype(mm_dtype)
+        yc = y.reshape(Bsz, L, 2, H2, P)
+        if D.ndim == 1:
+            Dc = Dm.reshape(2, H2)[None, None, :, :, None]
+        else:
+            Dc = Dm.reshape(2, H2, P)[None, None]
+        y = (yc + x2[:, :, None] * Dc).reshape(Bsz, L, H4, P)
+    return y.astype(out_dtype)
+
+
 def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,
                 dt_bias=None, dt_softplus=True, initial_state=None,
                 return_final_state=False, acc_dtype=jnp.float32,

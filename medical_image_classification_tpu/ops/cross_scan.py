@@ -106,6 +106,32 @@ def cross_scan_time_major(x):
     return jnp.stack([d0, d1, d2, d3], axis=2)
 
 
+def cross_scan_time_major2(x):
+    """d0/d1 half of cross_scan_time_major: [B, H, W, C] -> [B, L, 2, C].
+
+    Directions 2/3 are sequence flips of these two — the flip-free fused
+    SSD kernel (`kernels/ssd_fused_dirs_pallas.py`) reads them from the
+    same bytes via mirrored chunk maps, so they are never materialised.
+    """
+    Bb, H, W, C = x.shape
+    L = H * W
+    d0 = x.reshape(Bb, L, C)
+    d1 = jnp.swapaxes(x, 1, 2).reshape(Bb, L, C)
+    return jnp.stack([d0, d1], axis=2)
+
+
+def cross_merge_noflip_time_major(ys, H, W):
+    """Merge for the flip-free fused path: ys [B, L, 4, C] with directions
+    2/3 ALREADY in d0/d1 order (the kernel un-mirrors them), so the merge
+    is two adds and one un-transpose — no flips, fwd or bwd."""
+    Bb, L, K, C = ys.shape
+    assert K == 4 and L == H * W
+    y02 = ys[:, :, 0] + ys[:, :, 2]
+    y13 = ys[:, :, 1] + ys[:, :, 3]
+    y13 = jnp.swapaxes(y13.reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
+    return (y02 + y13).reshape(Bb, H, W, C)
+
+
 def cross_merge_time_major(ys, H, W):
     """Inverse of cross_scan_time_major + sum over directions.
 

@@ -92,6 +92,59 @@ def check_model_grads():
     assert cos > 0.9999 and rel < 1e-2
 
 
+def check_dirs_path():
+    """Flip-free direction-folded fused SSD (r3) vs the materialised
+    4-direction path: MedSSD logits + full-model grads, Mosaic-compiled.
+
+    bf16 tolerances: the paths differ in accumulation order (stage 1
+    XLA -> fused; interpret-mode fp32 parity is 1e-4,
+    tests/test_ssd_fused_dirs.py); dt_bias/A_log leaves carry ~1e-8-norm
+    gradients where bf16 noise dominates, so compare the global vectors.
+    """
+    import medical_image_classification_tpu.kernels.ssd as ssd_mod
+    from medical_image_classification_tpu.data.image_folder import (
+        normalize_batch)
+    from medical_image_classification_tpu.models import create_model
+    from medical_image_classification_tpu.train.train_state import (
+        cross_entropy_loss)
+
+    model = create_model("medssd", num_classes=4, dtype=jnp.bfloat16)
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 224, 224, 3),
+                                            np.uint8)
+    labels = np.arange(4, dtype=np.int32)
+    x = normalize_batch(jnp.asarray(imgs))
+    v = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False))(
+        jax.random.PRNGKey(0), x)
+    other = {k: w for k, w in v.items()
+             if k not in ("params", "perturbations")}
+
+    def run(dirs_on):
+        orig = ssd_mod.ssd_dirs_chunk
+        if not dirs_on:
+            ssd_mod.ssd_dirs_chunk = lambda *a, **k: None
+        try:
+            logits = jax.jit(lambda p, xx: model.apply(
+                {"params": p, **other}, xx, train=False))(v["params"], x)
+
+            def loss(p):
+                out = model.apply({"params": p, **other}, x, train=False)
+                return cross_entropy_loss(out, jnp.asarray(labels))
+
+            g = jax.jit(jax.grad(loss))(v["params"])
+        finally:
+            ssd_mod.ssd_dirs_chunk = orig
+        flat = jnp.concatenate([l.astype(jnp.float32).ravel()
+                                for l in jax.tree_util.tree_leaves(g)])
+        return np.asarray(logits, np.float32), np.asarray(flat)
+
+    (ly, gy), (ln_, gn_) = run(True), run(False)
+    rel_y = float(np.max(np.abs(ly - ln_)) / (np.max(np.abs(ln_)) + 1e-30))
+    cos = float(np.dot(gy, gn_) /
+                (np.linalg.norm(gy) * np.linalg.norm(gn_) + 1e-30))
+    print(f"[8] dirs-path medssd: logits rel={rel_y:.2e} grad cos={cos:.6f}")
+    assert rel_y < 3e-2 and cos > 0.995
+
+
 def check_st_kernels():
     """Compiled (Mosaic) parity for the ST-SSD fused kernels at the real
     stage-0 shape — interpret-mode tests can't catch lowering issues like
@@ -170,4 +223,5 @@ if __name__ == "__main__":
     check_scan()
     check_model_grads()
     check_st_kernels()
+    check_dirs_path()
     print("ALL TPU CHECKS PASS")

@@ -1,0 +1,134 @@
+"""Golden tests for the flip-free direction-folded fused SSD path.
+
+The dirs kernel must reproduce the materialised-4-direction path exactly
+(it is the same math; directions 2/3 just ride mirrored chunk maps and an
+exact permutation matmul instead of flipped HBM copies).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import medical_image_classification_tpu.kernels.ssd as ssd_mod
+import medical_image_classification_tpu.kernels.ssd_fused_dirs_pallas as sfd
+import medical_image_classification_tpu.kernels.ssd_fused_pallas as sf
+from medical_image_classification_tpu.ops import ss2d
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    sfd._INTERPRET = True
+    old_min = sfd._MIN_L
+    sfd._MIN_L = 8
+    yield
+    sfd._INTERPRET = False
+    sfd._MIN_L = old_min
+
+
+def _core_args(B=2, HW=8, d_state=32, nheads=1, headdim=8, seed=0):
+    d_ssm = nheads * headdim
+    gn = d_state
+    Cc = d_ssm + 2 * gn + nheads
+    rng = np.random.RandomState(seed)
+    xBCdt = jnp.asarray(rng.randn(B, HW, HW, Cc) * 0.5, jnp.float32)
+    A_log = jnp.asarray(rng.rand(4, nheads) * 0.5, jnp.float32)
+    dt_bias = jnp.asarray(rng.rand(4, nheads), jnp.float32)
+    Ds = jnp.asarray(rng.rand(4, nheads), jnp.float32)
+    kw = dict(d_ssm=d_ssm, ngroups=1, d_state=d_state, nheads=nheads,
+              headdim=headdim, chunk_size=16)
+    return xBCdt, A_log, dt_bias, Ds, kw
+
+
+def _run_core(args, dirs: bool, monkeypatch):
+    xBCdt, A_log, dt_bias, Ds, kw = args
+    if not dirs:
+        monkeypatch.setattr(ssd_mod, "ssd_dirs_chunk",
+                            lambda *a, **k: None)
+        # the branch imports locally — patch the source module attr
+        import medical_image_classification_tpu.kernels.ssd as _s
+        monkeypatch.setattr(_s, "ssd_dirs_chunk", lambda *a, **k: None)
+    return ss2d.ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, **kw)
+
+
+def test_dirs_gate_covers_test_shape():
+    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 4, 4) == 16
+
+
+def test_dirs_forward_parity(monkeypatch):
+    args = _core_args()
+    got = _run_core(args, True, monkeypatch)
+    want = _run_core(args, False, monkeypatch)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dirs_grad_parity(monkeypatch):
+    args = _core_args(seed=3)
+    xBCdt, A_log, dt_bias, Ds, kw = args
+
+    def loss_fn(dirs):
+        def f(x_, al_, db_, ds_):
+            if not dirs:
+                import medical_image_classification_tpu.kernels.ssd as _s
+                orig = _s.ssd_dirs_chunk
+                _s.ssd_dirs_chunk = lambda *a, **k: None
+                try:
+                    y = ss2d.ss2d_core_ssd(x_, al_, db_, ds_, **kw)
+                finally:
+                    _s.ssd_dirs_chunk = orig
+            else:
+                y = ss2d.ss2d_core_ssd(x_, al_, db_, ds_, **kw)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(xBCdt, A_log, dt_bias, Ds)
+
+    g_dirs = loss_fn(True)
+    g_ref = loss_fn(False)
+    for gd, gr, name in zip(g_dirs, g_ref,
+                            ["dxBCdt", "dA_log", "ddt_bias", "dDs"]):
+        gr32 = np.asarray(gr, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(gd, np.float32), gr32,
+            rtol=1e-4, atol=1e-4 * max(1.0, float(np.abs(gr32).max())),
+            err_msg=name)
+
+
+def test_dirs_multi_head(monkeypatch):
+    """nheads=2 per direction: head groups span both directions of a
+    class; D with headdim exercises the class-broadcast epilogue."""
+    args = _core_args(nheads=2, seed=7)
+    got = _run_core(args, True, monkeypatch)
+    want = _run_core(args, False, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dirs_bf16_parity(monkeypatch):
+    xBCdt, A_log, dt_bias, Ds, kw = _core_args(seed=5)
+    args = (xBCdt.astype(jnp.bfloat16), A_log, dt_bias, Ds, kw)
+    got = _run_core(args, True, monkeypatch)
+    want = _run_core(args, False, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=5e-2)
+
+
+def test_dirs_production_gate():
+    """Production gate (pretend TPU): MedSSD stage 0 rides the dirs path
+    at its pad-free 224 chunk; stage 1 (784, no in-window divisor with
+    nc>=2... 196 divides) and small-N ST-SSD shapes stay off."""
+    sfd._INTERPRET = False
+    sfd._MIN_L = 196
+    import unittest.mock as mock
+    with mock.patch.object(sfd.jax, "default_backend", lambda: "tpu"):
+        # MedSSD stage 0: L=3136, N=512, P=64, H4=8
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8) == 224
+        # stage 1: L=784 -> 4 x 196 inside the widened window
+        assert ssd_mod.ssd_dirs_chunk(784, 256, 512, 64, 16) == 196
+        # stage 2: L=196 single chunk -> no nc>=2 divisor -> off
+        assert ssd_mod.ssd_dirs_chunk(196, 256, 512, 64, 32) is None
+        # ST-SSD small N: gate rejects N % 128
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 64, 64, 8) is None
+        # fp32 rejected on hardware
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8, 4) is None
