@@ -74,3 +74,42 @@ def test_cross_scan_grad_flows():
     x = jnp.ones((1, 4, 4, 2))
     g = jax.grad(lambda v: jnp.sum(cross_merge(cross_scan(v), 4, 4)))(x)
     np.testing.assert_allclose(np.asarray(g), 4.0 * np.ones_like(np.asarray(g)))
+
+
+def test_noflip_merge_matches_flip_merge():
+    """cross_merge_noflip_time_major(d0-aligned ys) == cross_merge_time_major
+    (kernel-layout ys): the flip-free fused path emits directions 2/3
+    already in d0/d1 order, so pre-flipping them must reproduce the
+    original merge exactly."""
+    from medical_image_classification_tpu.ops.cross_scan import (
+        cross_merge_noflip_time_major,
+        cross_merge_time_major,
+    )
+    rng = np.random.RandomState(0)
+    H = W = 4
+    ys = jnp.asarray(rng.randn(2, H * W, 4, 3), jnp.float32)
+    want = cross_merge_time_major(ys, H, W)
+    ys_aligned = jnp.stack(
+        [ys[:, :, 0], ys[:, :, 1],
+         jnp.flip(ys[:, :, 2], axis=1), jnp.flip(ys[:, :, 3], axis=1)],
+        axis=2)
+    got = cross_merge_noflip_time_major(ys_aligned, H, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_time_major2_is_first_half_of_time_major():
+    from medical_image_classification_tpu.ops.cross_scan import (
+        cross_scan_time_major,
+        cross_scan_time_major2,
+    )
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 4, 6, 3), jnp.float32)
+    full = cross_scan_time_major(x)
+    half = cross_scan_time_major2(x)
+    np.testing.assert_allclose(np.asarray(half),
+                               np.asarray(full[:, :, :2]), rtol=0, atol=0)
+    # and directions 2/3 are exactly the flips of the half
+    np.testing.assert_allclose(
+        np.asarray(jnp.flip(half, axis=1)), np.asarray(full[:, :, 2:]),
+        rtol=0, atol=0)
