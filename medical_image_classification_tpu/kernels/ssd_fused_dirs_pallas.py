@@ -114,6 +114,12 @@ def ssd_fused_dirs_supported(l: int, N: int, P: int, nc: int, H4: int,
     hpg = _heads_per_group(h2, P)
     if (h2 // hpg) * hpg != h2:
         return False
+    # nc >= 2: single-chunk stages (MedSSD stage 2, L=196) were tried at
+    # nc=1 (the kernel handles it — the mirror map degenerates to a pure
+    # J reversal, parity-tested) but measured a 4.8 ms/step LOSS on the
+    # full model (ABBA 47.1 -> 51.9 ms, r3): at l=196 with H4=32 the
+    # per-head [l, P] matmuls are too small to beat XLA's batched
+    # einsums + fused epilogue, and there is no state walk to win back.
     return (nc >= 2 and _MIN_L <= l <= _MAX_L and l % 4 == 0
             and N % 128 == 0 and P % 8 == 0)
 

@@ -26,7 +26,10 @@ def _interpret():
     sfd._MIN_L = old_min
 
 
-def _core_args(B=2, HW=8, d_state=32, nheads=1, headdim=8, seed=0):
+def _core_args(B=2, HW=8, d_state=64, nheads=1, headdim=8, seed=0):
+    # d_state=64 -> N=256 >= 256: _pick_chunk stays multi-chunk (nc=4 at
+    # chunk 16), exercising the mirrored-chunk maps; the single-chunk
+    # (nc=1) degenerate case has its own test below
     d_ssm = nheads * headdim
     gn = d_state
     Cc = d_ssm + 2 * gn + nheads
@@ -52,7 +55,11 @@ def _run_core(args, dirs: bool, monkeypatch):
 
 
 def test_dirs_gate_covers_test_shape():
-    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 4, 4) == 16
+    # N=256: multi-chunk pick survives the gate (the parity tests' config)
+    assert ssd_mod.ssd_dirs_chunk(64, 16, 256, 8, 4) == 16
+    # N=128 small-N single-chunk pick: nc=1 gate-rejected (measured loss,
+    # see ssd_fused_dirs_supported), falls back through the window search
+    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 4) == 16
 
 
 def test_dirs_forward_parity(monkeypatch):
@@ -104,6 +111,42 @@ def test_dirs_multi_head(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_dirs_single_chunk(monkeypatch):
+    """nc=1 (MedSSD stage-2 shape, reduced): mirror map degenerates to a
+    pure within-chunk J reversal; fwd + grads vs the materialised path."""
+    xBCdt, A_log, dt_bias, Ds, kw = _core_args(B=2, HW=4, d_state=32,
+                                               seed=11)
+    kw = dict(kw, chunk_size=16)          # L = 16 -> single chunk
+    args = (xBCdt, A_log, dt_bias, Ds, kw)
+    # production gate rejects nc=1 (measured loss); force it here to keep
+    # the degenerate kernel path parity-tested in case the gate widens
+    gate = sfd.ssd_fused_dirs_supported
+    monkeypatch.setattr(
+        sfd, "ssd_fused_dirs_supported",
+        lambda l, N, P, nc, H4, itemsize=2: gate(l, N, P, max(nc, 2), H4,
+                                                 itemsize))
+    assert ssd_mod.ssd_dirs_chunk(16, 16, 128, 8, 4) == 16
+    got = _run_core(args, True, monkeypatch)
+    want = _run_core(args, False, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def g(dirs):
+        import medical_image_classification_tpu.kernels.ssd as _s
+        orig = _s.ssd_dirs_chunk
+        if not dirs:
+            _s.ssd_dirs_chunk = lambda *a, **k: None
+        try:
+            return jax.grad(lambda x_: jnp.sum(ss2d.ss2d_core_ssd(
+                x_, A_log, dt_bias, Ds, **kw).astype(jnp.float32) ** 2))(
+                    xBCdt)
+        finally:
+            _s.ssd_dirs_chunk = orig
+
+    np.testing.assert_allclose(np.asarray(g(True)), np.asarray(g(False)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dirs_bf16_parity(monkeypatch):
     xBCdt, A_log, dt_bias, Ds, kw = _core_args(seed=5)
     args = (xBCdt.astype(jnp.bfloat16), A_log, dt_bias, Ds, kw)
@@ -126,8 +169,10 @@ def test_dirs_production_gate():
         assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8) == 224
         # stage 1: L=784 -> 4 x 196 inside the widened window
         assert ssd_mod.ssd_dirs_chunk(784, 256, 512, 64, 16) == 196
-        # stage 2: L=196 single chunk -> no nc>=2 divisor -> off
+        # stage 2: L=196 single chunk stays OFF (nc=1 measured loss)
         assert ssd_mod.ssd_dirs_chunk(196, 256, 512, 64, 32) is None
+        # stage 3: L=49 has no pad-free chunk in the window -> off
+        assert ssd_mod.ssd_dirs_chunk(49, 256, 512, 64, 64) is None
         # ST-SSD small N: gate rejects N % 128
         assert ssd_mod.ssd_dirs_chunk(3136, 256, 64, 64, 8) is None
         # fp32 rejected on hardware
