@@ -12,7 +12,6 @@ import pytest
 
 import medical_image_classification_tpu.kernels.ssd as ssd_mod
 import medical_image_classification_tpu.kernels.ssd_fused_dirs_pallas as sfd
-import medical_image_classification_tpu.kernels.ssd_fused_pallas as sf
 from medical_image_classification_tpu.ops import ss2d
 
 
