@@ -111,9 +111,11 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
 
 def bench_fusion(model_name: str, batch: int, size: int, iters: int,
                  dtype: str = "fp32"):
-    """Fusion-family train throughput (pairs/sec): the reference anchor
-    config (batch 2, 256^2, Adam, SSIM+grad loss — `CrossMamba/train.py`,
-    fp32).  dtype="bf16" measures the compute-dtype override."""
+    """Fusion-family throughput (pairs/sec): train under the reference
+    anchor config (batch 2, 256^2, Adam, SSIM+grad loss —
+    `CrossMamba/train.py`, fp32) plus inference (the reference times fusion
+    inference too, `CrossMamba/FusionMamba/test.py:102-103`).
+    dtype="bf16" measures the compute-dtype override."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -159,7 +161,69 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
 
     t = chained_device_time(train_carry, (params, bstats, tx.init(params)),
                             iters=iters)
-    return {"train_ips": batch / t}
+
+    def infer_carry(x):
+        out = model.apply({"params": params, "batch_stats": bstats},
+                          x, xb, train=False)
+        bump = (0.0 * jnp.sum(out)).astype(jnp.float32)
+        return x + bump.astype(x.dtype)
+
+    ti = chained_device_time(infer_carry, xa, iters=iters)
+    return {"train_ips": batch / t, "infer_ips": batch / ti}
+
+
+def step_breakdown(model_name: str, batch: int, size: int, dtype: str,
+                   steps: int = 3):
+    """Traced device-op decomposition of one train step (VERDICT r3 weak-9:
+    the bench JSON should self-attribute round over round, not just report
+    img/s).  Returns {step_ms, scan_ms, conv_ms, fusion_ms, formatting_ms,
+    other_ms} from a jax.profiler capture (works through the axon relay)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from medical_image_classification_tpu.models import create_model
+    from medical_image_classification_tpu.train.optim import make_optimizer
+    from medical_image_classification_tpu.train.train_state import (
+        init_train_state, make_train_step)
+    from medical_image_classification_tpu.utils import profiling
+
+    dt = {"bf16": jnp.bfloat16, "fp32": None}[dtype]
+    model = create_model(model_name, num_classes=8, dtype=dt)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (batch, size, size, 3), dtype=np.uint8))
+    labels = jnp.asarray(np.arange(batch, dtype=np.int32) % 8)
+    state = init_train_state(model, rng, imgs, make_optimizer("adam", 1e-4))
+    step = make_train_step(model, donate=False)
+    for _ in range(2):
+        state, m = step(state, imgs, labels, rng)
+    jax.block_until_ready(m)
+    with tempfile.TemporaryDirectory(prefix="bench_trace_") as logdir:
+        with profiling.trace(logdir):
+            for _ in range(steps):
+                state, m = step(state, imgs, labels, rng)
+            jax.block_until_ready(m)
+        summary = profiling.summarize_trace(logdir, steps=steps)
+    buckets = {"scan_ms": 0.0, "conv_ms": 0.0, "fusion_ms": 0.0,
+               "formatting_ms": 0.0, "other_ms": 0.0}
+    fmt = ("data formatting", "copy", "copy-done", "copy-start", "pad",
+           "slice", "concatenate", "broadcast", "transpose", "reshape")
+    for cat, ms in summary["by_category"].items():
+        if "custom" in cat:                      # pallas custom-calls
+            buckets["scan_ms"] += ms
+        elif "convolution" in cat:               # convs + MXU matmuls
+            buckets["conv_ms"] += ms
+        elif "fusion" in cat or "elementwise" in cat:
+            buckets["fusion_ms"] += ms
+        elif cat in fmt:
+            buckets["formatting_ms"] += ms
+        else:
+            buckets["other_ms"] += ms
+    out = {"step_ms": round(summary["total_ms"], 2)}
+    out.update({k: round(v, 2) for k, v in buckets.items()})
+    return out
 
 
 def _parse_args(argv=None):
@@ -171,10 +235,12 @@ def _parse_args(argv=None):
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--extra-models",
-                   default="medssd:16,st_ssd:8,vfefm_2b2:2,vfefm_2b2:2:bf16",
+                   default="medssd:32,st_ssd:8,vfefm_2b2:2,vfefm_2b2:2:bf16,"
+                           "medssd_ekan:16,cross_cls_stage3:8",
                    help="comma list of model[:batch[:dtype]] also measured "
-                        "and reported under extra (VERDICT r1: track medssd "
-                        "+ one fusion model per round); '' disables")
+                        "and reported under extra (VERDICT r3: medssd at the "
+                        "reference anchor batch 32, one KAN head, one cross "
+                        "classifier, fusion fp32+bf16); '' disables")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--partial-file", default="", help=argparse.SUPPRESS)
     p.add_argument("--no-watchdog", action="store_true",
@@ -245,6 +311,17 @@ def worker_main(args):
         out["extra"]["secs_to_train_number"] = secs_train
     out["extra"]["secs_to_headline"] = round(time.time() - t0, 1)
     _checkpoint(out, args.partial_file)
+    # step-time decomposition of the headline model (VERDICT r3 item 8):
+    # budget-guarded — the single-step jit is a fresh remote compile
+    if (args.mode == "both" and time.time() - t0 < soft_budget * 0.5
+            and not os.environ.get("BENCH_NO_BREAKDOWN")):
+        try:
+            out["extra"]["step_breakdown"] = step_breakdown(
+                args.model, args.batch, args.size, args.dtype)
+        except Exception as e:  # pragma: no cover — attribution must not kill
+            out["extra"]["step_breakdown_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
+        _checkpoint(out, args.partial_file)
     from medical_image_classification_tpu.models.registry import (
         available_fusion_models)
     for spec in filter(None, args.extra_models.split(",")):
@@ -365,22 +442,38 @@ def watchdog_main():
     rc = proc.returncode
     lines = [ln for ln in (stdout or b"").decode().strip().splitlines()
              if ln.startswith("{")]
+    out = None
     if not timed_out and rc == 0 and lines:
-        out = json.loads(lines[-1])
         try:
-            with open(LAST_GOOD_PATH, "w") as f:
-                json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                                        time.gmtime()),
-                           "wall_secs": round(time.time() - t0, 1),
-                           "result": out}, f, indent=1)
-        except OSError:
-            pass
+            out = json.loads(lines[-1])
+        except ValueError:
+            # a stray '{'-prefixed stdout line that isn't our JSON must not
+            # kill the watchdog after a successful run (ADVICE r3)
+            out = None
+    if out is not None:
+        # only persist a sane record as "last good": a zero-value or
+        # non-TPU-backend run would poison every future STALE fallback
+        # (ADVICE r3)
+        if (out.get("value", 0) > 0
+                and out.get("extra", {}).get("backend") == "tpu"):
+            try:
+                with open(LAST_GOOD_PATH, "w") as f:
+                    json.dump({"measured_at": time.strftime(
+                                   "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                               "wall_secs": round(time.time() - t0, 1),
+                               "result": out}, f, indent=1)
+            except OSError:
+                pass
         _emit(out)
     else:
-        reason = (f"bench worker exceeded BENCH_DEADLINE_SECS="
-                  f"{DEADLINE_SECS:.0f}s (axon relay down or cold-compile "
-                  f"overrun)" if timed_out
-                  else f"bench worker exited rc={rc}")
+        if timed_out:
+            reason = (f"bench worker exceeded BENCH_DEADLINE_SECS="
+                      f"{DEADLINE_SECS:.0f}s (axon relay down or "
+                      f"cold-compile overrun)")
+        elif rc == 0:
+            reason = "bench worker rc=0 but stdout tail unparseable"
+        else:
+            reason = f"bench worker exited rc={rc}"
         _emit_partial_or_fallback(partial, reason)
     if os.path.exists(partial):
         os.unlink(partial)

@@ -60,9 +60,15 @@ def main(cfg: TrainConfig):
                                shard_count=nproc)
     spe = train_loader.steps_per_epoch()
 
+    model_kw = {}
+    if cfg.sp > 1:
+        # L-shard the SS2D scans over a 'seq' mesh axis (the reference's
+        # sequence_parallel=True plumbing, `CNN_Mamba.py:354,365`); the
+        # mesh is registered below before the first jitted step traces.
+        model_kw["seq_axis"] = "seq"
     model = create_model(cfg.model, num_classes=cfg.num_classes,
                          use_checkpoint=cfg.use_checkpoint,
-                         scan_impl=cfg.scan_impl)
+                         scan_impl=cfg.scan_impl, **model_kw)
     sched = make_schedule(cfg.schedule, cfg.lr, spe, cfg.epochs,
                           cfg.warmup_epochs)
     tx = make_optimizer(cfg.optimizer, sched, cfg.weight_decay,
@@ -71,9 +77,9 @@ def main(cfg: TrainConfig):
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size, 3),
                        jnp.uint8)
+    # mesh BEFORE the first trace: seq_axis scans look it up at trace time
+    mesh = make_mesh(tp=cfg.tp, sp=cfg.sp, batch_size=cfg.batch_size)
     state = init_train_state(model, rng, sample, tx)
-
-    mesh = make_mesh(tp=cfg.tp, batch_size=cfg.batch_size)
     state = shard_state(state, mesh)
     bsh = batch_sharding(mesh)
 

@@ -145,6 +145,9 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     # emits final rows directly — one less VPU op per element than the old
     # local-state + running-decay correction, and no S-entry dicts of
     # [nb, N, Dt] intermediates competing for VMEM.
+    # NB r4 measured dead end: saving e_b itself from the forward (skipping
+    # this pass) cut bwd compute ~1.2 ms/step at MedMamba b32 but the e_b
+    # HBM stream cost MORE in copy/async traffic — net 69.4 -> 70.0 ms.
     x_order = list(range(S - 1, -1, -1)) if reverse else list(range(S))
     s0 = x_order[0]
     acc_b = b[:, s0]

@@ -56,6 +56,12 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     def _():
         state[...] = jnp.zeros_like(state)
 
+    # NB r4 measured dead end: saving the SUB-BLOCK seeds e_b here (so the
+    # backward skips its state-recompute totals pass) cut bwd kernel time
+    # 35.7 -> 34.5 ms/step on MedMamba b32, but the extra HBM stream came
+    # back as +1.2-1.9 ms of copy/async traffic — net WORSE (69.4 -> 70.0
+    # traced, bf16 seeds; 70.25 fp32).  Chunk-state save + bwd recompute
+    # stays.
     xsave_ref[0, 0] = state[...]
     u = u_ref[0].astype(jnp.float32)                    # [T, Dt]
     dt = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)

@@ -19,6 +19,7 @@ Returns y: [B, L, H, P] and optionally the final state [B, H, P, N].
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -135,8 +136,10 @@ def _pick_chunk(L: int, chunk_size: int, N: int = 512) -> int:
 # ms/step (48.48 -> 49.58 ms, b16 train) — the single-chunk XLA stage
 # fuses its epilogue/B/C-grad work into neighbouring ops and skips the
 # boundary-state saves.  Kept opt-in for future shapes; the l=196 kernel
-# window itself is parity-tested (tests/test_ssd_fused.py).
-_FUSED_CHUNK_OVERRIDE = False
+# window itself is parity-tested (tests/test_ssd_fused.py).  Env-hookable
+# (ADVICE r3) so future shapes can A/B it without a source edit:
+_FUSED_CHUNK_OVERRIDE = bool(int(os.environ.get(
+    "MIC_SSD_FUSED_CHUNK_OVERRIDE", "0")))
 
 
 def _effective_chunk(L: int, chunk_size: int, N: int, P: int, G: int,

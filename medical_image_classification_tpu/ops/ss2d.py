@@ -161,7 +161,11 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
 
         def scan_dir(xj, dts, Bm, Cm, r, j):
             # single-direction call (K=1): operands are matmul outputs /
-            # activation views — zero stack/relayout glue
+            # activation views — zero stack/relayout glue.  NB an r4 A/B
+            # folded {row, col} layouts into one G=2B call per direction
+            # (half the launches): per-launch overhead is negligible but
+            # the jnp.stack operand glue cost ~6 ms/step of HBM copies
+            # (traced 69.4 -> 76.8 ms) — keep the 4 zero-glue calls.
             return selective_scan_pallas_folded(
                 xj, dts, A2[r, j][None], Bm, Cm, D2[r, j][None],
                 b2[r, j][None], reverse=bool(r))

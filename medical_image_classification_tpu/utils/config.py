@@ -38,6 +38,7 @@ class TrainConfig:
     seed: int = 0
     # parallelism
     tp: int = 1
+    sp: int = 1                             # sequence-parallel mesh axis size
     # io
     save_path: str = "runs/model.ckpt"
     resume: Optional[str] = None

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
     p.add_argument("--logdir", default="/tmp/mic_fusion_trace")
     args = p.parse_args()
 
@@ -35,7 +36,8 @@ def main():
     from medical_image_classification_tpu.utils import profiling
 
     channels = 1 if args.model == "fusionmamba" else 3
-    model = create_fusion_model(args.model)
+    kw = {"dtype": jnp.bfloat16} if args.dtype == "bf16" else {}
+    model = create_fusion_model(args.model, **kw)
     tx = make_optimizer("adam", 2e-4)
     rng = jax.random.PRNGKey(0)
     xa = jnp.asarray(np.random.RandomState(0).rand(

