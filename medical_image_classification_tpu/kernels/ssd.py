@@ -160,7 +160,7 @@ def _effective_chunk(L: int, chunk_size: int, N: int, P: int, G: int,
 
 
 def ssd_dirs_chunk(L: int, chunk_size: int, N: int, P: int, H4: int,
-                   itemsize: int = 2):
+                   itemsize: int = 2, d_ssm: int = 0):
     """Chunk size for the flip-free direction-folded fused path, or None.
 
     Requires a pad-free chunk inside the fused window (the direction
@@ -174,27 +174,38 @@ def ssd_dirs_chunk(L: int, chunk_size: int, N: int, P: int, H4: int,
         return None
     c = _pick_chunk(L, chunk_size, N)
     if L % c == 0 and sfd.ssd_fused_dirs_supported(c, N, P, L // c, H4,
-                                                   itemsize):
+                                                   itemsize, d_ssm):
         return c
     for c in range(min(chunk_size, sfd._MAX_L), sfd._MIN_L - 1, -4):
         if (L % c == 0 and sfd.ssd_fused_dirs_supported(c, N, P, L // c,
-                                                        H4, itemsize)):
+                                                        H4, itemsize,
+                                                        d_ssm)):
             return c
     return None
 
 
-def ssd_chunked_dirs(x2, dt4, A, B2, C2, chunk_size: int, D=None,
-                     dt_bias=None, dt_softplus=True,
-                     acc_dtype=jnp.float32):
-    """Four-direction folded SSD from d0/d1 bytes only.
+def _anti_identity(n: int, dtype):
+    """Exact anti-identity permutation-matmul operand (rev doesn't lower
+    well anywhere: jnp.flip measured 0.9-2.7 ms/step on the dt rows)."""
+    i = jnp.arange(n)
+    return (i[:, None] == (n - 1 - i)[None, :]).astype(dtype)
 
-    x2  : [B, L, 2*nh, P]   d0|d1 head sections (dirs 2/3 = flips, never
-                            materialised — the kernel mirrors chunks)
-    dt4 : [B, L, 4*nh]      dir-major dt rows INCLUDING the flipped rows
-                            for dirs 2/3 (tiny; built by the caller)
-    A, D, dt_bias : [4*nh] (D optionally [4*nh, P])
-    B2, C2 : [B, L, 2*gn]   d0|d1 group slabs (ref_flat coupling: the
-                            flipped halves are assembled in-kernel)
+
+def ssd_chunked_dirs(stackr, A, chunk_size: int, *, d_ssm: int, gn: int,
+                     nheads: int, headdim: int, D=None, dt_bias=None,
+                     dt_softplus=True, acc_dtype=jnp.float32):
+    """Four-direction folded SSD from the d0/d1 stack's bytes only.
+
+    stackr : [B, L, 2*C']  ROLE-major d0|d1 stack (channel runs
+             [x_j0|x_j1|B_j0|B_j1|C_j0|C_j1|dt_j0|dt_j1], built by
+             `cross_scan_time_major2_roles`); directions 2/3 are sequence
+             flips — never materialised.  The kernel cuts x/B/C blocks
+             straight out of this array (r4: the old per-tensor slice
+             copies cost ~3-5 ms/step of 'data formatting'); only the tiny
+             dt rows are prepared outside, with the dirs-2/3 flips done as
+             exact permutation matmuls over (chunk, position) instead of
+             lax.rev.
+    A, D, dt_bias : [4*nh]  per-direction params (D per-head scalar only).
 
     Returns y [B, L, 4*nh, P] with directions 2/3 already in d0/d1 order
     (use `cross_merge_noflip_time_major`).  Caller must have validated the
@@ -203,45 +214,44 @@ def ssd_chunked_dirs(x2, dt4, A, B2, C2, chunk_size: int, D=None,
     from medical_image_classification_tpu.kernels import (
         ssd_fused_dirs_pallas as sfd)
 
-    out_dtype = x2.dtype
-    mm_dtype = x2.dtype
-    Bsz, L, H2, P = x2.shape
-    H4 = 2 * H2
+    out_dtype = stackr.dtype
+    Bsz, L, C2c = stackr.shape
+    H2 = 2 * nheads
+    H4 = 4 * nheads
+    P = headdim
     assert L % chunk_size == 0, "dirs path requires pad-free chunks"
     nc = L // chunk_size
     l = chunk_size
+    stackc = stackr.reshape(Bsz, nc, l, C2c)
 
-    dt = dt4.astype(acc_dtype)
+    # dt rows: [B, L, 2*nh] run -> [B, nc, H2, l] transposed, then the
+    # dirs-2/3 rows via exact permutation matmuls (mirror the chunk axis,
+    # reverse within the chunk) — no lax.rev anywhere
+    dt2 = stackr[..., 2 * (d_ssm + 2 * gn):]
+    dtT_f = jnp.moveaxis(dt2.reshape(Bsz, nc, l, H2), 3, 2)  # [B,nc,H2,l]
+    dtT_f = dtT_f.astype(acc_dtype)
+    Jc = _anti_identity(nc, acc_dtype)
+    Jl = _anti_identity(l, acc_dtype)
+    hp = jax.lax.Precision.HIGHEST
+    dtT_r = jnp.einsum("mn,bnhl,lk->bmhk", Jc, dtT_f, Jl, precision=hp)
+    dtT = jnp.concatenate([dtT_f, dtT_r], axis=2)            # [B,nc,H4,l]
     if dt_bias is not None:
-        dt = dt + dt_bias.astype(acc_dtype)
+        dtT = dtT + dt_bias.astype(acc_dtype)[:, None]
     if dt_softplus:
-        dt = jax.nn.softplus(dt)
-    dtc = dt.reshape(Bsz, nc, l, H4)
-    dtA = dtc * A.astype(acc_dtype)                      # [B, nc, l, H4]
-    dtA_t = jnp.moveaxis(dtA, 3, 2)                      # [B, nc, H4, l]
+        dtT = jax.nn.softplus(dtT)
+    dtA_t = dtT * A.astype(acc_dtype)[:, None]               # [B,nc,H4,l]
     A_cum_t = _cumsum_last(dtA_t)
     dte_t = jnp.exp(A_cum_t[..., -1:] - A_cum_t)
     cdec = jnp.exp(A_cum_t[..., -1])
-    dtp_t = jnp.moveaxis(dtc, 3, 2).astype(jnp.float32)
+    dtp_t = dtT.astype(jnp.float32)
 
-    y = sfd.ssd_fused_dirs(
-        C2.astype(mm_dtype).reshape(Bsz, nc, l, -1),
-        B2.astype(mm_dtype).reshape(Bsz, nc, l, -1),
-        A_cum_t, dte_t, cdec, dtp_t,
-        x2.reshape(Bsz, nc, l, H2 * P))                  # [B, nc, l, H4*P]
-    y = y.reshape(Bsz, L, H4, P)
-    if D is not None:
-        # directions 2/3 are d0/d1-ordered, so their D-skip term uses the
-        # UNFLIPPED x2 sections — broadcast over the direction-class axis
-        # (no [B, L, 4nh, P] x copy)
-        Dm = D.astype(mm_dtype)
-        yc = y.reshape(Bsz, L, 2, H2, P)
-        if D.ndim == 1:
-            Dc = Dm.reshape(2, H2)[None, None, :, :, None]
-        else:
-            Dc = Dm.reshape(2, H2, P)[None, None]
-        y = (yc + x2[:, :, None] * Dc).reshape(Bsz, L, H4, P)
-    return y.astype(out_dtype)
+    assert D is None or D.ndim == 1, "dirs path: per-head scalar D only"
+    Dsk = (D.astype(jnp.float32) if D is not None
+           else jnp.zeros((H4,), jnp.float32))[None, None]   # [1, 1, H4]
+
+    y = sfd.ssd_fused_dirs(stackc, A_cum_t, dte_t, cdec, dtp_t, Dsk,
+                           d_ssm, gn)                        # [B,nc,l,H4*P]
+    return y.reshape(Bsz, L, H4, P).astype(out_dtype)
 
 
 def ssd_chunked(x, dt, A, B, C, chunk_size: int = 128, D=None, z=None,

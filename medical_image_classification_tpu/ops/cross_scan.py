@@ -120,6 +120,29 @@ def cross_scan_time_major2(x):
     return jnp.stack([d0, d1], axis=2)
 
 
+def cross_scan_time_major2_roles(x, d_ssm: int, gn: int):
+    """d0/d1 stack with ROLE-major channels:
+    [B, H, W, C'] -> [B, L, x_j0|x_j1|B_j0|B_j1|C_j0|C_j1|dt_j0|dt_j1].
+
+    The flip-free dirs kernel cuts its x/B/C operands straight out of this
+    array with BlockSpecs (r4): every block is a CONTIGUOUS channel run at
+    a block-aligned offset, so no host-side slice copies and no strided
+    sub-layout blocks (an interleaved [.., 2, C'] stack put the layout dim
+    on sublanes — measured +13 ms/step of kernel time at MedSSD b16).
+    One concatenate pass, same bytes as the interleaved stack.
+    """
+    Bb, H, W, C = x.shape
+    L = H * W
+    d0 = x.reshape(Bb, L, C)
+    d1 = jnp.swapaxes(x, 1, 2).reshape(Bb, L, C)
+    o1, o2 = d_ssm, d_ssm + gn
+    return jnp.concatenate(
+        [d0[..., :o1], d1[..., :o1],
+         d0[..., o1:o2], d1[..., o1:o2],
+         d0[..., o2:o2 + gn], d1[..., o2:o2 + gn],
+         d0[..., o2 + gn:], d1[..., o2 + gn:]], axis=-1)
+
+
 def cross_merge_noflip_time_major(ys, H, W):
     """Merge for the flip-free fused path: ys [B, L, 4, C] with directions
     2/3 ALREADY in d0/d1 order (the kernel un-mirrors them), so the merge

@@ -21,7 +21,7 @@ from medical_image_classification_tpu.kernels.ssd import ssd_chunked
 from medical_image_classification_tpu.ops.cross_scan import (
     cross_scan,
     cross_scan_time_major,
-    cross_scan_time_major2,
+    cross_scan_time_major2_roles,
     cross_merge,
     cross_merge_noflip_time_major,
     cross_merge_stack,
@@ -285,33 +285,26 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     # same bytes via mirrored chunk maps + an exact permutation matmul
     # (kernels/ssd_fused_dirs_pallas.py).  Kills the two flipped x slabs,
     # the merge/dy/dx flips, and halves the stack width (measured ~7 ms of
-    # copy traffic per MedSSD b16 step, r3 trace).
+    # copy traffic per MedSSD b16 step, r3 trace).  r4: the kernel cuts
+    # x/B/C blocks straight out of the stack (no host slice copies) and
+    # runs the D-skip in-VMEM.
     if (merge and seq_axis is None and bc_layout == "ref_flat"
-            and ngroups == 1):
+            and ngroups == 1 and Ds.size == K * nheads):
         from medical_image_classification_tpu.kernels.ssd import (
             ssd_chunked_dirs,
             ssd_dirs_chunk,
         )
         eff_c = ssd_dirs_chunk(L, chunk_size, K * d_state, headdim,
-                               K * nheads, jnp.dtype(xBCdt.dtype).itemsize)
+                               K * nheads, jnp.dtype(xBCdt.dtype).itemsize,
+                               d_ssm=d_ssm)
         if eff_c is not None:
-            stack2 = jax.lax.optimization_barrier(
-                cross_scan_time_major2(xBCdt))           # [B, L, 2, Cc]
-            xs2 = stack2[..., :d_ssm]
-            B2 = stack2[..., d_ssm:d_ssm + gn].reshape(Bb, L, 2 * gn)
-            C2 = stack2[..., d_ssm + gn:d_ssm + 2 * gn].reshape(Bb, L,
-                                                                2 * gn)
-            dt2 = stack2[..., d_ssm + 2 * gn:]           # [B, L, 2, nh]
-            dt4 = jnp.concatenate(
-                [dt2, jnp.flip(dt2, axis=1)], axis=2).reshape(
-                    Bb, L, K * nheads)                   # tiny rows
-            x2 = xs2.reshape(Bb, L, 2 * nheads, headdim)
+            stackr = jax.lax.optimization_barrier(
+                cross_scan_time_major2_roles(xBCdt, d_ssm, gn))
             A = -jnp.exp(A_log.astype(jnp.float32)).reshape(K * nheads)
             Df = Ds.astype(jnp.float32).reshape(-1)
-            if Df.shape[0] == K * d_ssm:                 # D_has_hdim
-                Df = Df.reshape(K * nheads, headdim)
             dtb = dt_bias.astype(jnp.float32).reshape(K * nheads)
-            y = ssd_chunked_dirs(x2, dt4, A, B2, C2, eff_c, D=Df,
+            y = ssd_chunked_dirs(stackr, A, eff_c, d_ssm=d_ssm, gn=gn,
+                                 nheads=nheads, headdim=headdim, D=Df,
                                  dt_bias=dtb, dt_softplus=True)
             ys = y.reshape(Bb, L, K, d_ssm)
             return cross_merge_noflip_time_major(ys, H, W)

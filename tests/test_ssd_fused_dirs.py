@@ -25,10 +25,13 @@ def _interpret():
     sfd._MIN_L = old_min
 
 
-def _core_args(B=2, HW=8, d_state=64, nheads=1, headdim=8, seed=0):
-    # d_state=64 -> N=256 >= 256: _pick_chunk stays multi-chunk (nc=4 at
-    # chunk 16), exercising the mirrored-chunk maps; the single-chunk
-    # (nc=1) degenerate case has its own test below
+def _core_args(B=2, HW=8, d_state=32, nheads=4, headdim=8, seed=0):
+    # d_state=32, nheads=4, headdim=8: d_ssm=32 == gn (the r4 stack5 block
+    # cutting requires d_ssm % gn == 0 and nh % hpg == 0 — every real
+    # model on this path has gn=128 and d_ssm a multiple of it); N=128
+    # keeps the N%128 gate green and chunk 16 over L=64 gives nc=4,
+    # exercising the mirrored-chunk maps.  The single-chunk (nc=1)
+    # degenerate case has its own test below.
     d_ssm = nheads * headdim
     gn = d_state
     Cc = d_ssm + 2 * gn + nheads
@@ -54,11 +57,13 @@ def _run_core(args, dirs: bool, monkeypatch):
 
 
 def test_dirs_gate_covers_test_shape():
-    # N=256: multi-chunk pick survives the gate (the parity tests' config)
-    assert ssd_mod.ssd_dirs_chunk(64, 16, 256, 8, 4) == 16
-    # N=128 small-N single-chunk pick: nc=1 gate-rejected (measured loss,
-    # see ssd_fused_dirs_supported), falls back through the window search
-    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 4) == 16
+    # N=128, d_ssm=32=gn: multi-chunk pick survives the gate (the parity
+    # tests' config: d_state=32, nheads=4, headdim=8)
+    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 16, d_ssm=32) == 16
+    # straddle / divisibility violations are rejected
+    assert ssd_mod.ssd_dirs_chunk(64, 16, 128, 8, 16, d_ssm=40) is None
+    # production MedSSD stage-0 shape passes in interpret mode
+    assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8, d_ssm=128) == 224
 
 
 def test_dirs_forward_parity(monkeypatch):
@@ -101,9 +106,10 @@ def test_dirs_grad_parity(monkeypatch):
 
 
 def test_dirs_multi_head(monkeypatch):
-    """nheads=2 per direction: head groups span both directions of a
-    class; D with headdim exercises the class-broadcast epilogue."""
-    args = _core_args(nheads=2, seed=7)
+    """nheads=8 per direction (d_ssm = 2*gn): multiple x sections per
+    layout (SPL=2) and a B/C block index iB=2 — exercises the stack5
+    block-cutting arithmetic beyond the d_ssm == gn base case."""
+    args = _core_args(nheads=8, seed=7)
     got = _run_core(args, True, monkeypatch)
     want = _run_core(args, False, monkeypatch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -122,9 +128,9 @@ def test_dirs_single_chunk(monkeypatch):
     gate = sfd.ssd_fused_dirs_supported
     monkeypatch.setattr(
         sfd, "ssd_fused_dirs_supported",
-        lambda l, N, P, nc, H4, itemsize=2: gate(l, N, P, max(nc, 2), H4,
-                                                 itemsize))
-    assert ssd_mod.ssd_dirs_chunk(16, 16, 128, 8, 4) == 16
+        lambda l, N, P, nc, H4, itemsize=2, d_ssm=0: gate(
+            l, N, P, max(nc, 2), H4, itemsize, d_ssm))
+    assert ssd_mod.ssd_dirs_chunk(16, 16, 128, 8, 16, d_ssm=32) == 16
     got = _run_core(args, True, monkeypatch)
     want = _run_core(args, False, monkeypatch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -164,15 +170,25 @@ def test_dirs_production_gate():
     sfd._MIN_L = 196
     import unittest.mock as mock
     with mock.patch.object(sfd.jax, "default_backend", lambda: "tpu"):
-        # MedSSD stage 0: L=3136, N=512, P=64, H4=8
-        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8) == 224
+        # MedSSD stage 0: L=3136, N=512, P=64, H4=8, d_ssm=128
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8,
+                                      d_ssm=128) == 224
         # stage 1: L=784 -> 4 x 196 inside the widened window
-        assert ssd_mod.ssd_dirs_chunk(784, 256, 512, 64, 16) == 196
+        assert ssd_mod.ssd_dirs_chunk(784, 256, 512, 64, 16,
+                                      d_ssm=256) == 196
         # stage 2: L=196 single chunk stays OFF (nc=1 measured loss)
-        assert ssd_mod.ssd_dirs_chunk(196, 256, 512, 64, 32) is None
+        assert ssd_mod.ssd_dirs_chunk(196, 256, 512, 64, 32,
+                                      d_ssm=512) is None
         # stage 3: L=49 has no pad-free chunk in the window -> off
-        assert ssd_mod.ssd_dirs_chunk(49, 256, 512, 64, 64) is None
+        assert ssd_mod.ssd_dirs_chunk(49, 256, 512, 64, 64,
+                                      d_ssm=1024) is None
         # ST-SSD small N: gate rejects N % 128
-        assert ssd_mod.ssd_dirs_chunk(3136, 256, 64, 64, 8) is None
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 64, 64, 8,
+                                      d_ssm=128) is None
         # fp32 rejected on hardware
-        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8, 4) is None
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 512, 64, 8, 4,
+                                      d_ssm=128) is None
+        # gn=32 rejected on hardware: the role-major B/C slab blocks are
+        # 2*gn=64 lanes — not tileable to 128 (gn=64 IS fine: 2*gn=128)
+        assert ssd_mod.ssd_dirs_chunk(3136, 256, 128, 64, 8,
+                                      d_ssm=128) is None
