@@ -217,7 +217,7 @@ _BWD_IMPL = "pallas"
 
 
 def _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt, reverse=False,
-                  softplus=True, want_state=False):
+                  softplus=True, want_state=False, init=None):
     """Forward: two-level work-efficient kernel (v2) when the sub-block
     size divides T, else the doubling-scan v1 (forward-only, no flags)."""
     from medical_image_classification_tpu.kernels import (
@@ -227,13 +227,13 @@ def _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt, reverse=False,
         v2._INTERPRET = _INTERPRET
         return v2.fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T, Dt, S=S,
                                 reverse=reverse, softplus=softplus,
-                                want_state=want_state)
-    assert not (reverse or want_state or not softplus), (
+                                want_state=want_state, init=init)
+    assert not (reverse or want_state or not softplus or init is not None), (
         "scan flags require the v2 kernel (T % 8 == 0)")
     return _fwd_folded(u, delta, A, B, C, Dskip, bias, T, Dt)
 
 
-def _xla_equivalent(u, delta, A, B, C, Dskip, bias, reverse=False,
+def _xla_equivalent(u, delta, A, B, C, Dskip, bias, init=None, reverse=False,
                     softplus=True, want_state=False):
     """Same math through the differentiable chunked-XLA scan (debug VJP +
     golden reference).  Output follows u's dtype (matches the pallas fwd)."""
@@ -247,10 +247,16 @@ def _xla_equivalent(u, delta, A, B, C, Dskip, bias, reverse=False,
     d2 = jnp.swapaxes(delta.reshape(batch, K, L, Dm), 1, 2).reshape(batch, L, K * Dm)
     B2 = jnp.swapaxes(B.reshape(batch, K, L, N), 1, 2)
     C2 = jnp.swapaxes(C.reshape(batch, K, L, N), 1, 2)
+    init2 = None
+    if init is not None:
+        # [G = batch*K, N, Dm] -> [batch, K*Dm, N]
+        init2 = jnp.swapaxes(init.reshape(batch, K, N, Dm), 2, 3).reshape(
+            batch, K * Dm, N)
     out = selective_scan_xla(u2, d2, A.reshape(K * Dm, N), B2, C2,
                              D=Dskip.reshape(-1), delta_bias=bias.reshape(-1),
                              delta_softplus=softplus,
-                             return_last_state=want_state)
+                             return_last_state=want_state,
+                             initial_state=init2)
     y, last = out if want_state else (out, None)
     y = jnp.swapaxes(y.reshape(batch, L, K, Dm), 1, 2).reshape(G, L, Dm)
     if reverse:
@@ -269,26 +275,31 @@ def _cast_like(grads, primals):
 
 @functools.lru_cache(maxsize=None)
 def _make_scan_folded(reverse: bool, softplus: bool = True,
-                      want_state: bool = False):
-    """Build the custom_vjp'd folded-scan entry for one flag combination."""
+                      want_state: bool = False, has_init: bool = False):
+    """Build the custom_vjp'd folded-scan entry for one flag combination.
+
+    ``has_init`` variants take an extra initial-state primal [G, N, Dm]
+    (SP pass-2 rescans / chunked prefill) and return its cotangent."""
 
     def tiles_of(u, A):
         T, Dt = _choose_tiles(u.shape[1], u.shape[2], A.shape[2])
         return T, Dt
 
-    @jax.custom_vjp
-    def scan_folded(u, delta, A, B, C, Dskip, bias):
+    def fwd_outs(u, delta, A, B, C, Dskip, bias, init):
         T, Dt = tiles_of(u, A)
-        outs = _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt,
+        return _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt,
                              reverse=reverse, softplus=softplus,
-                             want_state=want_state)
+                             want_state=want_state, init=init)
+
+    @jax.custom_vjp
+    def scan_folded(u, delta, A, B, C, Dskip, bias, *maybe_init):
+        outs = fwd_outs(u, delta, A, B, C, Dskip, bias,
+                        maybe_init[0] if has_init else None)
         return (outs[0], outs[2]) if want_state else outs[0]
 
-    def scan_fwd(u, delta, A, B, C, Dskip, bias):
-        T, Dt = tiles_of(u, A)
-        outs = _fwd_dispatch(u, delta, A, B, C, Dskip, bias, T, Dt,
-                             reverse=reverse, softplus=softplus,
-                             want_state=want_state)
+    def scan_fwd(u, delta, A, B, C, Dskip, bias, *maybe_init):
+        outs = fwd_outs(u, delta, A, B, C, Dskip, bias,
+                        maybe_init[0] if has_init else None)
         res = (u, delta, A, B, C, Dskip, bias, outs[1])
         return ((outs[0], outs[2]), res) if want_state else (outs[0], res)
 
@@ -305,15 +316,33 @@ def _make_scan_folded(reverse: bool, softplus: bool = True,
                 outs = bwd2.bwd_folded_v2(u, delta, A, B, C, Dskip, bias,
                                           xsave, gy, T, Dt, S=S,
                                           reverse=reverse, softplus=softplus,
-                                          dlast=glast)
+                                          dlast=glast, want_dinit=has_init)
             else:
-                assert not (reverse or want_state or not softplus)
+                assert not (reverse or want_state or not softplus
+                            or has_init)
                 from medical_image_classification_tpu.kernels import (
                     selective_scan_pallas_bwd as bwd_mod)
                 bwd_mod._INTERPRET = _INTERPRET
                 outs = bwd_mod.bwd_folded(u, delta, A, B, C, Dskip, bias,
                                           xsave, gy, T, Dt)
+            if has_init:
+                return _cast_like(outs[:7],
+                                  (u, delta, A, B, C, Dskip, bias)) + (
+                    outs[7],)
             return _cast_like(outs, (u, delta, A, B, C, Dskip, bias))
+        if has_init:
+            # xla-debug path: recover init from the residual — the v2 fwd
+            # seeded the first-processed chunk's incoming state with it
+            # (buffer chunk 0 for forward scans, the last one for reverse)
+            init = xsave[:, -1] if reverse else xsave[:, 0]
+            _, vjp = jax.vjp(
+                functools.partial(_xla_equivalent, reverse=reverse,
+                                  softplus=softplus, want_state=want_state),
+                u, delta, A, B, C, Dskip, bias, init)
+            grads = vjp(g)
+            return _cast_like(grads[:7],
+                              (u, delta, A, B, C, Dskip, bias)) + (
+                grads[7],)
         _, vjp = jax.vjp(
             functools.partial(_xla_equivalent, reverse=reverse,
                               softplus=softplus, want_state=want_state),
@@ -326,7 +355,8 @@ def _make_scan_folded(reverse: bool, softplus: bool = True,
 
 def selective_scan_pallas_folded(u, delta, A, B, C, Dskip, bias,
                                  reverse: bool = False, softplus: bool = True,
-                                 return_last_state: bool = False):
+                                 return_last_state: bool = False,
+                                 initial_state=None):
     """Folded-layout entry (see module docstring).
 
     ``reverse=True`` scans each sequence back-to-front over unflipped
@@ -335,14 +365,18 @@ def selective_scan_pallas_folded(u, delta, A, B, C, Dskip, bias,
     ``return_last_state=True`` additionally returns the final scan state
     [G, N, Dm] (fp32; pad positions excluded) — the decode/prefill contract
     of the reference CUDA kernel (`selective_scan_interface.py:83-158`).
+    ``initial_state`` ([G, N, Dm]) seeds the scan (SP pass-2 rescans /
+    chunked prefill); its cotangent is returned by the custom VJP.
 
     u/delta/B/C keep their incoming dtype (bf16 halves the kernel's HBM
     traffic; accumulation is fp32 inside regardless).  Params stay fp32."""
-    fn = _make_scan_folded(reverse, softplus, return_last_state)
-    return fn(u, delta,
-              A.astype(jnp.float32), B, C,
-              Dskip.astype(jnp.float32),
-              bias.astype(jnp.float32))
+    fn = _make_scan_folded(reverse, softplus, return_last_state,
+                           initial_state is not None)
+    args = (u, delta, A.astype(jnp.float32), B, C,
+            Dskip.astype(jnp.float32), bias.astype(jnp.float32))
+    if initial_state is not None:
+        args = args + (initial_state.astype(jnp.float32),)
+    return fn(*args)
 
 
 def pallas_folded_supported(L: int, Dm: int, N: int) -> bool:
@@ -351,12 +385,14 @@ def pallas_folded_supported(L: int, Dm: int, N: int) -> bool:
 
 
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
-                          delta_softplus=False, return_last_state=False):
+                          delta_softplus=False, return_last_state=False,
+                          initial_state=None):
     """Generic-layout entry matching ``selective_scan``'s signature.
 
     Folds grouped B/C (4D, or 3D = one group) into the sequence axis.
     The z-gate is applied outside the kernel in fp32 (XLA fuses it; the
     reference CUDA kernel fuses it by hand, `selective_scan.cpp:228+`).
+    ``initial_state`` follows the generic [batch, K*Dm, N] contract.
     """
     if B.ndim == 3:
         B = B[:, :, None]
@@ -373,9 +409,15 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     Dk = (D if D is not None else jnp.zeros(K * Dm)).reshape(K, Dm)
     bk = (delta_bias if delta_bias is not None
           else jnp.zeros(K * Dm)).reshape(K, Dm)
+    init4 = None
+    if initial_state is not None:
+        # [batch, K*Dm, N] -> [batch*K, N, Dm]
+        init4 = jnp.swapaxes(initial_state.reshape(batch, K, Dm, N),
+                             2, 3).reshape(batch * K, N, Dm)
     out = selective_scan_pallas_folded(u4, d4, A4, B4, C4, Dk, bk,
                                        softplus=delta_softplus,
-                                       return_last_state=return_last_state)
+                                       return_last_state=return_last_state,
+                                       initial_state=init4)
     y, last = out if return_last_state else (out, None)
     y = jnp.swapaxes(y.reshape(batch, K, L, Dm), 1, 2).reshape(batch, L, K * Dm)
     if z is not None:

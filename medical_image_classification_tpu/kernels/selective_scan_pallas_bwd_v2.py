@@ -58,7 +58,8 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
                    xin_ref, dy_ref, *refs,
                    T: int, S: int, nT: int, Dt: int,
                    reverse: bool = False, softplus: bool = True,
-                   has_dlast: bool = False, L_total: int = 0):
+                   has_dlast: bool = False, L_total: int = 0,
+                   want_dinit: bool = False):
     """Backward for one chunk.  ``reverse=True`` is the adjoint of a
     REVERSE forward scan (x_t = a_t x_{t+1} + b_t): the grid walks chunks
     first-to-last, the state recompute is a suffix pass seeded from the
@@ -68,8 +69,14 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     if has_dlast:
         dlast_ref = refs[0]
         refs = refs[1:]
-    (du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref, dD_ref,
-     g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr, dB_acc, dC_acc) = refs
+    if want_dinit:
+        (du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref, dD_ref,
+         dinit_ref, g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr,
+         dB_acc, dC_acc) = refs
+    else:
+        (du_ref, ddelta_ref, dB_ref, dC_ref, dA_ref, dbias_ref, dD_ref,
+         g_carry, dA_acc, dbias_acc, dD_acc, x_scr, g_scr,
+         dB_acc, dC_acc) = refs
     lidx = pl.program_id(1)
     dtile = pl.program_id(2)
     first = lidx == 0
@@ -95,10 +102,10 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     else:
         dt_f = dt_raw
         sig_f = jnp.ones_like(dt_raw)
-    if has_dlast:
-        # mirror the forward's want_state pad handling: dt=0 on pad rows so
-        # the dlast adjoint propagates with decay 1 and pad rows contribute
-        # nothing to the dt/A/bias gradients
+    if has_dlast or want_dinit:
+        # mirror the forward's want_state/has_init pad handling: dt=0 on
+        # pad rows so the dlast adjoint / initial state propagates with
+        # decay 1 and pad rows contribute nothing to dt/A/bias gradients
         ci = lidx if reverse else (nT - 1 - lidx)
         pos = ci * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         inb = pos < L_total
@@ -193,6 +200,13 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
         # incoming from the LATER chunk (grid walks backward)
         e_g = jnp.concatenate([sb[1:] + sa[1:] * cin, cin], axis=0)
         g_carry[dtile] = a_flat[0] * (sb[0] + sa[0] * cin[0])
+    if want_dinit:
+        # after the LAST grid step the carry is exactly the adjoint of the
+        # injected initial state: a_0 * g_0 for forward scans, a_{L-1} *
+        # g_{L-1} for reverse ones (pad rows pass it through with decay 1)
+        @pl.when(lidx == nT - 1)
+        def _():
+            dinit_ref[0] = g_carry[dtile]
     # NOTE e_g[j] = adjoint entering block j from the blocks already walked
     # plus the cross-chunk carry; g[:, s] = gloc[s] + gruns[s] * e_g
 
@@ -266,7 +280,7 @@ def _bwd_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
 def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
                   S: int = 16, reverse: bool = False, softplus: bool = True,
-                  dlast=None):
+                  dlast=None, want_dinit: bool = False):
     G, L, Dm = u.shape
     K, _, N = A.shape
     nD = Dm // Dt
@@ -290,7 +304,8 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
 
     kernel = functools.partial(_bwd_kernel_v2, T=T, S=S, nT=nT, Dt=Dt,
                                reverse=reverse, softplus=softplus,
-                               has_dlast=dlast is not None, L_total=L)
+                               has_dlast=dlast is not None, L_total=L,
+                               want_dinit=want_dinit)
     in_specs = [
         pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
                      memory_space=pltpu.VMEM),
@@ -317,35 +332,41 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         in_specs.append(pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
                                      memory_space=pltpu.VMEM))
         operands.append(dlast)
+    out_specs = [
+        pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g, 0, d),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g, 0, d),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
+        jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
+        jax.ShapeDtypeStruct((G, Lp, N), B.dtype),
+        jax.ShapeDtypeStruct((G, Lp, N), C.dtype),
+        jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
+    ]
+    if want_dinit:
+        out_specs.append(pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((G, N, Dm), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dt), lambda g, l, d: (g, rev(l), d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda g, l, d: (g, rev(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, Dt), lambda g, l, d: (g, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda g, l, d: (g, 0, d),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, Dm), u.dtype),
-            jax.ShapeDtypeStruct((G, Lp, Dm), delta.dtype),
-            jax.ShapeDtypeStruct((G, Lp, N), B.dtype),
-            jax.ShapeDtypeStruct((G, Lp, N), C.dtype),
-            jax.ShapeDtypeStruct((G, N, Dm), jnp.float32),
-            jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
-            jax.ShapeDtypeStruct((G, 1, Dm), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((nD, N, Dt), jnp.float32),            # g carry
             pltpu.VMEM((nD, N, Dt), jnp.float32),            # dA acc
@@ -365,7 +386,11 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
         interpret=_INTERPRET,
     )(*operands)
 
-    du, ddelta, dB, dC, dA_part, dbias_part, dD_part = outs
+    if want_dinit:
+        (du, ddelta, dB, dC, dA_part, dbias_part, dD_part, dinit) = outs
+    else:
+        du, ddelta, dB, dC, dA_part, dbias_part, dD_part = outs
+        dinit = None
     du = du[:, :L]
     ddelta = ddelta[:, :L]
     dB = dB[:, :L]
@@ -374,4 +399,6 @@ def bwd_folded_v2(u, delta, A, B, C, Dskip, bias, xsave, dy, T: int, Dt: int,
     dA = jnp.swapaxes(dA_part.reshape(batch, K, N, Dm).sum(0), 1, 2)
     dbias = dbias_part.reshape(batch, K, Dm).sum(0)
     dD = dD_part.reshape(batch, K, Dm).sum(0)
+    if want_dinit:
+        return du, ddelta, dA, dB, dC, dD, dbias, dinit
     return du, ddelta, dA, dB, dC, dD, dbias

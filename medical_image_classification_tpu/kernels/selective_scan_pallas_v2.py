@@ -37,7 +37,7 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
                     *refs, T: int, S: int,
                     reverse: bool = False, softplus: bool = True,
                     want_state: bool = False, L_total: int = 0,
-                    nT_total: int = 0):
+                    nT_total: int = 0, has_init: bool = False):
     """One (sequence, L-chunk) grid step.
 
     ``reverse=True`` scans the sequence back-to-front (x_t = a_t x_{t+1} +
@@ -46,6 +46,9 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     carried state flows right-to-left.  This lets flipped scan directions
     run over UNFLIPPED memory — no jnp.flip copies anywhere (the reference
     materialises flipped tensors instead, `MedMamba.py:394-395`)."""
+    if has_init:
+        init_ref = refs[0]
+        refs = refs[1:]
     if want_state:
         y_ref, xsave_ref, state_out_ref, state, y_scr = refs
     else:
@@ -54,7 +57,14 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
     @pl.when(lc == 0)
     def _():
-        state[...] = jnp.zeros_like(state)
+        if has_init:
+            # seed the scan from a caller-provided state (SP pass-2 rescan
+            # / chunked prefill); the xsave write below then records it as
+            # the first chunk's incoming state, so the backward recompute
+            # needs no special casing
+            state[...] = init_ref[0].astype(jnp.float32)
+        else:
+            state[...] = jnp.zeros_like(state)
 
     # NB r4 measured dead end: saving the SUB-BLOCK seeds e_b here (so the
     # backward skips its state-recompute totals pass) cut bwd kernel time
@@ -67,11 +77,12 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
     dt = dt_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     if softplus:
         dt = jax.nn.softplus(dt)
-    if want_state:
-        # L-padding must not touch the returned final state: dt=0 there
-        # makes the pad decay exp(0*A)=1 and the pad injection 0 (u and B
-        # are zero-padded anyway).  softplus(0 + bias) != 0 would otherwise
-        # decay the state through the pad region of forward scans.
+    if want_state or has_init:
+        # L-padding must not touch the returned final state / the injected
+        # initial state: dt=0 there makes the pad decay exp(0*A)=1 and the
+        # pad injection 0 (u and B are zero-padded anyway).  softplus(0 +
+        # bias) != 0 would otherwise decay the state through the pad
+        # region (forward-scan final state; reverse-scan initial state).
         ci = (nT_total - 1 - lc) if reverse else lc     # chunk index in L
         pos = ci * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         dt = jnp.where(pos < L_total, dt, 0.0)
@@ -149,7 +160,7 @@ def _scan_kernel_v2(u_ref, dt_ref, A_ref, B_ref, C_ref, bias_ref, Dskip_ref,
 
 def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
                   S: int = 16, reverse: bool = False, softplus: bool = True,
-                  want_state: bool = False):
+                  want_state: bool = False, init=None):
     G, L, Dm = u.shape
     K = A.shape[0]
     N = A.shape[2]
@@ -174,7 +185,8 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
 
     kernel = functools.partial(_scan_kernel_v2, T=T, S=S, reverse=reverse,
                                softplus=softplus, want_state=want_state,
-                               L_total=L, nT_total=nT)
+                               L_total=L, nT_total=nT,
+                               has_init=init is not None)
     out_specs = [
         pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
                      memory_space=pltpu.VMEM),
@@ -191,25 +203,32 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
             (1, N, Dt), lambda i, l: (seq(i), 0, dtile(i)),
             memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((G, N, Dm), jnp.float32))
+    in_specs = [
+        pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :]]
+    if init is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, N, Dt), lambda i, l: (seq(i), 0, dtile(i)),
+            memory_space=pltpu.VMEM))
+        operands.append(init)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dt), lambda i, l: (seq(i), lmap(l), dtile(i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), lambda i, l: (seq(i), lmap(l), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Dt), lambda i, l: (seq(i) % K, 0, dtile(i)),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, Dt), jnp.float32),
@@ -218,7 +237,7 @@ def fwd_folded_v2(u, delta, A, B, C, Dskip, bias, T: int, Dt: int,
             # only the L-chunk walk (dim 1) is order-dependent (state carry)
             dimension_semantics=(_DIM0_SEMANTICS, "arbitrary")),
         interpret=_INTERPRET,
-    )(u, delta, At, B, C, bias[:, None, :], Dskip[:, None, :])
+    )(*operands)
     if want_state:
         y, xsave, last = outs
         return y[:, :L], xsave, last

@@ -72,20 +72,8 @@ def _efficient_scan_core(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
     K = xs.shape[1]
     L4 = xs.shape[2]
 
-    from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
-        fused_supported, ss2d_scan_fused)
-    if impl == "pallas_fused" and fused_supported(L4, D, d_state):
-        f32 = jnp.float32
-        y4 = ss2d_scan_fused(
-            xs.reshape(Bb * K, L4, D),
-            x_proj_w[:, :dt_rank].astype(f32),
-            x_proj_w[:, dt_rank:dt_rank + d_state].astype(f32),
-            x_proj_w[:, dt_rank + d_state:].astype(f32),
-            dt_proj_w.astype(f32),
-            -jnp.exp(A_log.astype(f32)),
-            Ds.astype(f32), dt_proj_b.astype(f32))
-        return efficient_merge(y4.reshape(Bb, K, L4, D), H, W, step)
-
+    # (the r1 fused-projection kernel variant was removed in r4 after
+    # re-measurement — see ops/ss2d.py note)
     # weights cast to the compute dtype: a bf16 x fp32 einsum promotes to an
     # fp32 MXU matmul (4-8x slower); the MXU accumulates fp32 regardless
     x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w.astype(xs.dtype))

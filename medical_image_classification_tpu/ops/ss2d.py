@@ -85,31 +85,14 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
 
     from medical_image_classification_tpu.kernels.selective_scan_pallas import (
         pallas_folded_supported, selective_scan_pallas_folded)
-    from medical_image_classification_tpu.kernels.selective_scan_pallas_fused import (
-        fused_supported, ss2d_scan_fused)
-    # NB: measured on v5e, the fused path is ~8% slower for TRAINING than
-    # unfused-kernel + XLA einsums (in-kernel small matmuls pipeline worse
-    # than XLA's batched projection einsums) and neutral for inference, so
-    # it is opt-in via impl="pallas_fused".
-    if impl == "pallas_fused" and fused_supported(L, D, d_state):
-        # fully fused path: Δ/B/C projections run INSIDE the kernel; the
-        # only large HBM tensors are xs and y.
-        f32 = jnp.float32
-        y4 = ss2d_scan_fused(
-            cross_scan(x).reshape(Bb * K, L, D),
-            x_proj_w[:, :dt_rank].astype(f32),
-            x_proj_w[:, dt_rank:dt_rank + d_state].astype(f32),
-            x_proj_w[:, dt_rank + d_state:].astype(f32),
-            dt_proj_w.astype(f32),
-            -jnp.exp(A_log.astype(f32)),
-            Ds.astype(f32), dt_proj_b.astype(f32))
-        ys = y4.reshape(Bb, K, L, D)
-        if merge:
-            return cross_merge(ys, H, W)
-        return cross_merge_stack(ys, H, W)
     if impl == "pallas_fused":
-        # fused kernel unsupported at these shapes — degrade to the normal
-        # ladder instead of reaching the dispatcher with an unknown impl
+        # the r1 fused-projection kernel (427 LoC, projections inside the
+        # scan kernel) was REMOVED in r4 after a fresh ABBA on the current
+        # tree: medmamba b32 train 74.4 ms/step unfused vs 115.4 fused —
+        # the per-chunk in-kernel projection matmuls cannot compete with
+        # the folded 2-D XLA projections (r2) + the plain kernels.  The
+        # impl string stays accepted for config compat and rides the
+        # normal dispatch ladder.
         impl = "auto"
 
     if (seq_axis is None and impl in ("auto", "pallas")

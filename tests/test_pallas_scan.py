@@ -118,46 +118,6 @@ def test_pallas_fwd_saves_boundary_states(monkeypatch):
     np.testing.assert_array_equal(np.asarray(xsave[:, 0]), 0.0)
 
 
-def test_fused_kernel_matches_composed(monkeypatch):
-    """Fused-projection kernel (interpret mode) vs projections + XLA scan."""
-    import medical_image_classification_tpu.kernels.selective_scan_pallas_fused as ssf
-    monkeypatch.setattr(ssf, "_INTERPRET", True)
-    ks = jax.random.split(jax.random.PRNGKey(0), 9)
-    K, batch, L, Dm, N, R = 2, 2, 96, 32, 4, 3
-    G = batch * K
-    x = jax.random.normal(ks[0], (G, L, Dm))
-    Wdt = 0.3 * jax.random.normal(ks[1], (K, R, Dm))
-    WB = 0.3 * jax.random.normal(ks[2], (K, N, Dm))
-    WC = 0.3 * jax.random.normal(ks[3], (K, N, Dm))
-    dtw = 0.3 * jax.random.normal(ks[4], (K, Dm, R))
-    A = -jnp.exp(jax.random.normal(ks[5], (K, Dm, N)) * 0.5)
-    Dskip = jax.random.normal(ks[6], (K, Dm))
-    bias = 0.1 * jax.random.normal(ks[7], (K, Dm))
-
-    def composed(x, Wdt, WB, WC, dtw, A, Dskip, bias):
-        xs = x.reshape(batch, K, L, Dm)
-        dtr = jnp.einsum("bkld,krd->bklr", xs, Wdt)
-        Bm = jnp.einsum("bkld,knd->bkln", xs, WB)
-        Cm = jnp.einsum("bkld,knd->bkln", xs, WC)
-        dts = jnp.einsum("bklr,kdr->bkld", dtr, dtw)
-        return ssp._xla_equivalent(x, dts.reshape(G, L, Dm), A,
-                                   Bm.reshape(G, L, N), Cm.reshape(G, L, N),
-                                   Dskip, bias)
-
-    args = (x, Wdt, WB, WC, dtw, A, Dskip, bias)
-    y1 = ssf.ss2d_scan_fused(*args)
-    y2 = composed(*args)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
-                               rtol=1e-4, atol=1e-4)
-
-    loss = lambda fn: (lambda a: jnp.sum(jnp.sin(fn(*a))))
-    g1 = jax.grad(loss(ssf.ss2d_scan_fused))(args)
-    g2 = jax.grad(loss(composed))(args)
-    for a_, b_, nm in zip(g1, g2, "x Wdt WB WC dtw A Dskip bias".split()):
-        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
-                                   rtol=5e-3, atol=5e-3, err_msg=nm)
-
-
 def test_pallas_bf16_inputs(monkeypatch):
     """bf16 activations with fp32 params: output in bf16, tolerances bf16."""
     rng = jax.random.PRNGKey(21)
@@ -402,3 +362,60 @@ def test_ss2d_flipfree_path_matches_xla(monkeypatch, merge):
         scale = float(np.max(np.abs(np.asarray(gr)))) + 1e-6
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    rtol=3e-3, atol=1e-4 * scale, err_msg=nm)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_initial_state(monkeypatch, reverse):
+    """initial_state seeding (fwd + its gradient) vs the XLA scan, at an
+    L that pads (the injected state must ride pad rows with decay 1)."""
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_bwd_v2 as bwd2
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_v2 as v2
+    monkeypatch.setattr(v2, "_INTERPRET", True)
+    monkeypatch.setattr(bwd2, "_INTERPRET", True)
+    rng = jax.random.PRNGKey(11 + reverse)
+    batch, K, L, Dm, N = 1, 2, 100, 96, 8
+    u, delta, A, B, C, D, bias = _make(rng, batch, K, L, Dm, N)
+    init = jax.random.normal(jax.random.PRNGKey(99), (batch * K, N, Dm))
+
+    def f_pal(u_, init_):
+        return ssp.selective_scan_pallas_folded(
+            u_, delta, A, B, C, D, bias, reverse=reverse,
+            initial_state=init_)
+
+    def f_ref(u_, init_):
+        return ssp._xla_equivalent(u_, delta, A, B, C, D, bias, init=init_,
+                                   reverse=reverse)
+
+    np.testing.assert_allclose(np.asarray(f_pal(u, init)),
+                               np.asarray(f_ref(u, init)),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(f):
+        return jax.grad(lambda u_, i_: jnp.sum(f(u_, i_) ** 2),
+                        argnums=(0, 1))(u, init)
+
+    for gp, gr, name in zip(loss(f_pal), loss(f_ref), ["du", "dinit"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_split_scan_consistency(monkeypatch):
+    """Scanning [0:L1) then seeding [L1:L) with the returned last state
+    must equal the single full scan — the chunked-prefill contract of
+    `return_last_state` + `initial_state` together."""
+    import medical_image_classification_tpu.kernels.selective_scan_pallas_v2 as v2
+    monkeypatch.setattr(v2, "_INTERPRET", True)
+    rng = jax.random.PRNGKey(5)
+    batch, K, L, Dm, N = 1, 1, 128, 96, 8
+    L1 = 48
+    u, delta, A, B, C, D, bias = _make(rng, batch, K, L, Dm, N)
+    y_full = ssp.selective_scan_pallas_folded(u, delta, A, B, C, D, bias)
+    y1, s1 = ssp.selective_scan_pallas_folded(
+        u[:, :L1], delta[:, :L1], A, B[:, :L1], C[:, :L1], D, bias,
+        return_last_state=True)
+    y2 = ssp.selective_scan_pallas_folded(
+        u[:, L1:], delta[:, L1:], A, B[:, L1:], C[:, L1:], D, bias,
+        initial_state=s1)
+    got = jnp.concatenate([y1, y2], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y_full),
+                               rtol=2e-5, atol=2e-5)
