@@ -235,12 +235,14 @@ def _parse_args(argv=None):
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--extra-models",
-                   default="medssd:32,st_ssd:8,vfefm_2b2:2,vfefm_2b2:2:bf16,"
-                           "medssd_ekan:16,cross_cls_stage3:8",
+                   default="medssd:32,st_ssd:8,vfefm_2b2:2:bf16,"
+                           "medssd_ekan:16,cross_cls_stage3:8,vfefm_2b2:2",
                    help="comma list of model[:batch[:dtype]] also measured "
                         "and reported under extra (VERDICT r3: medssd at the "
                         "reference anchor batch 32, one KAN head, one cross "
-                        "classifier, fusion fp32+bf16); '' disables")
+                        "classifier, fusion bf16+fp32 — ordered so the "
+                        "soft time budget drops the fp32 fusion anchor "
+                        "first on cold runs); '' disables")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--partial-file", default="", help=argparse.SUPPRESS)
     p.add_argument("--no-watchdog", action="store_true",

@@ -63,6 +63,9 @@ class SSConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         half = self.hidden_dim // 2
         left, right = jnp.split(x, 2, axis=-1)
+        # NB fp32 LN output is free here: r4 measured dtype=self.dtype on
+        # this LN and SS2D's out_norm at 69.49 vs 69.39 ms/step (noise) —
+        # XLA already fuses the fp32 round-trips into the neighbours
         r = nn.LayerNorm(epsilon=1e-6, name="ln_1")(right)
         if self.core == "mamba1":
             r = SS2D(d_model=half, d_state=self.d_state, dropout=self.attn_drop,
