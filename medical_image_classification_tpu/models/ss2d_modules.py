@@ -306,9 +306,13 @@ class SS2DSSD(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, nheads))
 
         merge = self.st_tokens is None
+        # the ST tail's STL mixer is permutation-invariant over L (see
+        # cross_stack_scan_order), so the per-direction stack skips the
+        # alignment flips/transposes — fp-order-identical U tokens
         y = ss2d_core_ssd(xBCdt, A_log, dt_b, Ds, d_ssm=d_ssm, ngroups=G,
                           d_state=N, nheads=nheads, headdim=self.headdim,
                           chunk_size=self.chunk_size, merge=merge,
+                          stack_scan_order=not merge,
                           seq_axis=self.seq_axis)
 
         if self.st_tokens is not None:

@@ -170,6 +170,21 @@ def cross_merge_time_major(ys, H, W):
     return (y0 + y1 + y2 + y3).reshape(Bb, H, W, C)
 
 
+def cross_stack_scan_order(ys):
+    """[B, L, 4, C] -> [B, 4, L, C] with each direction kept in ITS OWN
+    scan order — no alignment flips or transposes.
+
+    Exact for consumers that are permutation-invariant over L: the ST-SSD
+    STL token mixer is one (U = sum_l A[l] outer V[l]; the gate, channel
+    max/avg and row softmax are all per-position), so the WMF path needs no
+    alignment at all.  The reference aligns first
+    (`/root/reference/st_mamba/ST_SSD.py:632-646`) only because its scan
+    outputs come back permuted — the aligned and unaligned stacks feed STL
+    identical multisets of rows, differing only in fp summation order.
+    """
+    return jnp.moveaxis(ys, 2, 1)
+
+
 def cross_merge_stack_time_major(ys, H, W):
     """Like cross_merge_time_major but returns the 4 aligned maps stacked
     ([B, 4, L, C], direction-0 order) for learned merges (WMF)."""

@@ -26,6 +26,7 @@ from medical_image_classification_tpu.ops.cross_scan import (
     cross_merge_noflip_time_major,
     cross_merge_stack,
     cross_merge_stack_time_major,
+    cross_stack_scan_order,
     cross_merge_time_major,
 )
 
@@ -237,6 +238,7 @@ def _ssd_scan_seq_parallel(xh, dth, A, Bh, Ch, Df, dtb, chunk_size,
 def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
                   d_state: int, nheads: int, headdim: int,
                   chunk_size: int = 256, merge: bool = True,
+                  stack_scan_order: bool = False,
                   bc_layout: str = "ref_flat", seq_axis=None):
     """Mamba-2 (SSD) 4-direction 2-D scan.
 
@@ -334,6 +336,10 @@ def ss2d_core_ssd(xBCdt, A_log, dt_bias, Ds, *, d_ssm: int, ngroups: int,
     ys = y.reshape(Bb, L, K, d_ssm)                       # free view
     if merge:
         return cross_merge_time_major(ys, H, W)
+    if stack_scan_order:
+        # permutation-invariant consumer (ST-SSD STL/WMF): skip the
+        # alignment flips/transposes entirely — one moveaxis instead
+        return cross_stack_scan_order(ys)
     return cross_merge_stack_time_major(ys, H, W)
 
 

@@ -113,3 +113,30 @@ def test_time_major2_is_first_half_of_time_major():
     np.testing.assert_allclose(
         np.asarray(jnp.flip(half, axis=1)), np.asarray(full[:, :, 2:]),
         rtol=0, atol=0)
+
+
+def test_scan_order_stack_equiv_through_stl_reduce():
+    """cross_stack_scan_order skips alignment; an STL-style reduction
+    (per-position gate -> row softmax -> sum_l outer(A_l, V_l)) must give
+    the same tokens per direction as the aligned stack, because every
+    per-direction sequence holds the same multiset of rows."""
+    from medical_image_classification_tpu.ops.cross_scan import (
+        cross_merge_stack_time_major,
+        cross_stack_scan_order,
+    )
+    rng = np.random.RandomState(7)
+    H, W, C, P = 4, 6, 8, 5
+    L = H * W
+    ys = jnp.asarray(rng.randn(2, L, 4, C), jnp.float32)
+    u1 = jnp.asarray(rng.randn(C, P), jnp.float32)
+    u2 = jnp.asarray(rng.randn(C, C), jnp.float32)
+
+    def stl_like(stack):                      # [B, 4, L, C] -> [B, 4, P, C]
+        w = stack * jax.nn.sigmoid(jnp.mean(stack, -1, keepdims=True))
+        A = jax.nn.softmax(w @ u1, axis=-1)
+        return jnp.einsum("bklp,bklc->bkpc", A, w @ u2)
+
+    aligned = stl_like(cross_merge_stack_time_major(ys, H, W))
+    scan_order = stl_like(cross_stack_scan_order(ys))
+    np.testing.assert_allclose(np.asarray(scan_order), np.asarray(aligned),
+                               rtol=1e-5, atol=1e-5)
