@@ -46,6 +46,67 @@ DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", "1500"))
 # exists - see BASELINE.md).  Revised when a measured torch baseline lands.
 REF_TORCH_IPS = 200.0
 
+# Peak dense bf16 throughput of one TPU v5e chip (197 TFLOP/s, public
+# spec) — the denominator for the reported MFU.  FLOPs numerators come
+# from the committed FLOPS.json (scripts/flops_report.py: XLA cost
+# analysis of the real programs lowered with Pallas disabled, so the
+# count is the algorithmic useful work, reference-convention).
+V5E_PEAK_FLOPS = 197e12
+FLOPS_PATH = os.path.join(_REPO, "FLOPS.json")
+
+
+def _load_flops():
+    try:
+        with open(FLOPS_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _mfu_fields(key, train_ips, infer_ips, flops_table):
+    """{key}_train_mfu_pct / {key}_infer_mfu_pct from per-image FLOPs."""
+    rec = flops_table.get(key)
+    if not rec:
+        return {}
+    out = {}
+    spi = rec.get("step_flops_per_image")
+    fpi = rec.get("fwd_flops_per_image")
+    if spi and train_ips:
+        out["train_mfu_pct"] = round(100.0 * spi * train_ips
+                                     / V5E_PEAK_FLOPS, 2)
+        out["step_gflops_per_image"] = round(spi / 1e9, 2)
+    if fpi and infer_ips:
+        out["infer_mfu_pct"] = round(100.0 * fpi * infer_ips
+                                     / V5E_PEAK_FLOPS, 2)
+        out["fwd_gflops_per_image"] = round(fpi / 1e9, 2)
+    return out
+
+
+def _is_graph_too_big(e) -> bool:
+    """Deterministic remote-compile body-limit failure (HTTP 413) — the
+    fori_loop-wrapped graph exceeds the axon relay's request cap
+    (BENCH_r04: vfefm_2b2).  Retrying identically can never succeed."""
+    msg = f"{type(e).__name__}: {e}"
+    return "413" in msg and ("length limit" in msg or "buffer" in msg
+                             or "HTTP" in msg)
+
+
+def _timed(step_like, init_carry, iters):
+    """chained fori_loop timing with a per-dispatch fallback on HTTP 413.
+
+    Returns (seconds_per_iter, timing_tag)."""
+    from medical_image_classification_tpu.utils.timing import (
+        chained_device_time, per_dispatch_time)
+    try:
+        return chained_device_time(step_like, init_carry, iters=iters), \
+            "chained"
+    except Exception as e:
+        if not _is_graph_too_big(e):
+            raise
+        _tlog(f"413 on chained timing; falling back to per-dispatch")
+        return per_dispatch_time(step_like, init_carry,
+                                 iters=min(iters, 10)), "per-dispatch"
+
 
 def _tlog(msg):
     if os.environ.get("BENCH_TIMING"):
@@ -65,8 +126,6 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
     from medical_image_classification_tpu.train.optim import make_optimizer
     from medical_image_classification_tpu.train.train_state import (
         init_train_state, make_train_step_fn)
-    from medical_image_classification_tpu.utils.timing import (
-        chained_device_time)
     from medical_image_classification_tpu.data.image_folder import (
         normalize_batch)
 
@@ -90,9 +149,11 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
             s2, _ = raw_step(s, imgs, labels, rng)
             return s2
 
-        t = chained_device_time(train_carry, state, iters=iters)
-        _tlog(f"{model_name}/train: measured {batch / t:.1f} ips")
+        t, tag = _timed(train_carry, state, iters)
+        _tlog(f"{model_name}/train: measured {batch / t:.1f} ips ({tag})")
         results["train_ips"] = batch / t
+        if tag != "chained":
+            results["timing"] = tag
     if mode in ("infer", "both"):
         variables = {"params": state.params, **state.model_state}
 
@@ -103,9 +164,11 @@ def bench(model_name: str, batch: int, size: int, iters: int, mode: str,
             return x + bump.astype(x.dtype)
 
         x0 = normalize_batch(imgs)
-        t = chained_device_time(infer_carry, x0, iters=iters)
-        _tlog(f"{model_name}/infer: measured {batch / t:.1f} ips")
+        t, tag = _timed(infer_carry, x0, iters)
+        _tlog(f"{model_name}/infer: measured {batch / t:.1f} ips ({tag})")
         results["infer_ips"] = batch / t
+        if tag != "chained":
+            results["timing"] = tag
     return results
 
 
@@ -125,8 +188,6 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
     from medical_image_classification_tpu.train.fusion_losses import (
         fusion_loss)
     from medical_image_classification_tpu.train.optim import make_optimizer
-    from medical_image_classification_tpu.utils.timing import (
-        chained_device_time)
 
     channels = 1 if model_name == "fusionmamba" else 3
     kw = {"dtype": jnp.bfloat16} if dtype == "bf16" else {}
@@ -159,8 +220,7 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
         return (optax.apply_updates(params, updates),
                 upd.get("batch_stats", bstats), opt_state2)
 
-    t = chained_device_time(train_carry, (params, bstats, tx.init(params)),
-                            iters=iters)
+    t, tag = _timed(train_carry, (params, bstats, tx.init(params)), iters)
 
     def infer_carry(x):
         out = model.apply({"params": params, "batch_stats": bstats},
@@ -168,8 +228,76 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
         bump = (0.0 * jnp.sum(out)).astype(jnp.float32)
         return x + bump.astype(x.dtype)
 
-    ti = chained_device_time(infer_carry, xa, iters=iters)
-    return {"train_ips": batch / t, "infer_ips": batch / ti}
+    ti, tag_i = _timed(infer_carry, xa, iters)
+    res = {"train_ips": batch / t, "infer_ips": batch / ti}
+    if tag != "chained" or tag_i != "chained":
+        res["timing"] = tag if tag != "chained" else tag_i
+    return res
+
+
+def bench_cross_cls(model_name: str, batch: int, size: int, iters: int,
+                    dtype: str = "bf16"):
+    """Dual-branch CrossMamba classifier throughput (paired images/sec):
+    CE + Adam on modality pairs, matching the reference classifier
+    training loop (`/root/reference/CrossMamba/train.py`).  These models
+    live in the fusion registry (two-input __call__) but train as
+    classifiers — fusion_loss does not apply."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from medical_image_classification_tpu.models.registry import (
+        create_fusion_model)
+    from medical_image_classification_tpu.train.optim import make_optimizer
+
+    kw = {"dtype": jnp.bfloat16} if dtype == "bf16" else {}
+    model = create_fusion_model(model_name, num_classes=8, **kw)
+    tx = make_optimizer("adam", 1e-4)
+    rng = jax.random.PRNGKey(0)
+    xa = jnp.asarray(np.random.RandomState(0).rand(
+        batch, size, size, 3), jnp.float32)
+    xb = jnp.asarray(np.random.RandomState(1).rand(
+        batch, size, size, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(batch, dtype=np.int32) % 8)
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng, "dropout": rng}, xa, xb)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+
+    def train_carry(carry):
+        params, bstats, opt_state = carry
+
+        def loss_fn(p):
+            mut = ["batch_stats"] if bstats else []
+            out = model.apply(
+                {"params": p, **({"batch_stats": bstats} if bstats else {})},
+                xa, xb, train=True, rngs={"dropout": rng}, mutable=mut)
+            logits, upd = out if mut else (out, {})
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+            return ce, upd
+
+        (_, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                upd.get("batch_stats", bstats), opt_state2)
+
+    t, tag = _timed(train_carry, (params, bstats, tx.init(params)), iters)
+
+    def infer_carry(x):
+        vin = {"params": params}
+        if bstats:
+            vin["batch_stats"] = bstats
+        out = model.apply(vin, x, xb, train=False)
+        bump = (0.0 * jnp.sum(out)).astype(jnp.float32)
+        return x + bump.astype(x.dtype)
+
+    ti, tag_i = _timed(infer_carry, xa, iters)
+    res = {"train_ips": batch / t, "infer_ips": batch / ti}
+    if tag != "chained" or tag_i != "chained":
+        res["timing"] = tag if tag != "chained" else tag_i
+    return res
 
 
 def step_breakdown(model_name: str, batch: int, size: int, dtype: str,
@@ -235,14 +363,15 @@ def _parse_args(argv=None):
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--extra-models",
-                   default="medssd:32,st_ssd:8,vfefm_2b2:2:bf16,"
-                           "medssd_ekan:16,cross_cls_stage3:8,vfefm_2b2:2",
+                   default="medssd_ekan:16,cross_cls_stage3:8,medssd:32,"
+                           "st_ssd:8,vfefm_2b2:2:bf16,vfefm_2b2:2",
                    help="comma list of model[:batch[:dtype]] also measured "
-                        "and reported under extra (VERDICT r3: medssd at the "
-                        "reference anchor batch 32, one KAN head, one cross "
-                        "classifier, fusion bf16+fp32 — ordered so the "
-                        "soft time budget drops the fp32 fusion anchor "
-                        "first on cold runs); '' disables")
+                        "and reported under extra (VERDICT r4 item 1b: the "
+                        "never-yet-measured models run FIRST — medssd_ekan "
+                        "and cross_cls_stage3 have zero driver-visible "
+                        "numbers after 4 rounds; then the round-tracked "
+                        "medssd/st_ssd/fusion lines, fp32 fusion anchor "
+                        "last); '' disables")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--partial-file", default="", help=argparse.SUPPRESS)
     p.add_argument("--no-watchdog", action="store_true",
@@ -272,10 +401,11 @@ def worker_main(args):
     soft_budget = DEADLINE_SECS * 0.8
 
     n_dev = jax.local_device_count()
+    flops_table = _load_flops()
 
     def make_out(train_ips, infer_ips):
         headline = train_ips if train_ips else infer_ips
-        return {
+        out = {
             "metric": f"{args.model} train images/sec/chip @{args.size} "
                       f"b{args.batch} {args.dtype}",
             "value": round(headline / n_dev, 2),
@@ -288,6 +418,10 @@ def worker_main(args):
                 "backend": jax.default_backend(),
             },
         }
+        # MFU vs the v5e bf16 peak (VERDICT r4 item 5)
+        out["extra"].update(_mfu_fields(args.model, train_ips / n_dev,
+                                        infer_ips / n_dev, flops_table))
+        return out
 
     if args.mode == "both":
         # measure + checkpoint train first: a timeout after the train
@@ -339,7 +473,13 @@ def worker_main(args):
         # INTERNAL errors ("response body closed") under load
         for attempt in (0, 1):
             try:
-                if name in available_fusion_models():
+                if name.startswith("cross_cls"):
+                    # paired-input CLASSIFIER in the fusion registry: CE
+                    # train loop at the headline dtype, 224^2
+                    key = name
+                    r = bench_cross_cls(name, b, args.size,
+                                        max(args.iters // 2, 5), args.dtype)
+                elif name in available_fusion_models():
                     r = bench_fusion(name, b, 256, max(args.iters // 2, 5),
                                      dtype=fdtype)
                 else:
@@ -348,14 +488,51 @@ def worker_main(args):
                 out["extra"][f"{key}_train_ips"] = round(r.get("train_ips", 0), 2)
                 out["extra"][f"{key}_infer_ips"] = round(r.get("infer_ips", 0), 2)
                 out["extra"][f"{key}_batch"] = b
+                if r.get("timing"):
+                    out["extra"][f"{key}_timing"] = r["timing"]
+                for mk, mv in _mfu_fields(key, r.get("train_ips", 0),
+                                          r.get("infer_ips", 0),
+                                          flops_table).items():
+                    out["extra"][f"{key}_{mk}"] = mv
                 out["extra"].pop(f"{key}_error", None)
                 break
             except Exception as e:  # pragma: no cover — extras must not kill
                 out["extra"][f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
-                if time.time() - t0 > soft_budget:
+                if time.time() - t0 > soft_budget or _is_graph_too_big(e):
                     break
         _checkpoint(out, args.partial_file)
+    _backfill_stale_extras(out, args.extra_models)
+    _checkpoint(out, args.partial_file)
     print(json.dumps(out))
+
+
+def _backfill_stale_extras(out, extra_models):
+    """Carry last-good values forward for extras that errored or were
+    budget-skipped this run, clearly marked stale (VERDICT r4 item 1c —
+    the r4 record lost three numbers the work had earned)."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            rec = json.load(f)
+        prior = rec.get("result", {}).get("extra", {})
+        measured_at = rec.get("measured_at", "?")
+    except Exception:
+        return
+    for spec in filter(None, extra_models.split(",")):
+        parts = spec.split(":")
+        fdtype = parts[2] if len(parts) > 2 else "fp32"
+        key = parts[0] if fdtype == "fp32" else f"{parts[0]}_{fdtype}"
+        if f"{key}_train_ips" in out["extra"]:
+            continue
+        if prior.get(f"{key}_train_ips"):
+            for suffix in ("train_ips", "infer_ips", "batch", "timing",
+                           "train_mfu_pct", "infer_mfu_pct",
+                           "step_gflops_per_image", "fwd_gflops_per_image"):
+                if f"{key}_{suffix}" in prior:
+                    out["extra"][f"{key}_{suffix}"] = prior[f"{key}_{suffix}"]
+            out["extra"][f"{key}_stale"] = True
+            # a value already stale in last-good keeps its ORIGINAL date
+            out["extra"][f"{key}_stale_measured_at"] = prior.get(
+                f"{key}_stale_measured_at", measured_at)
 
 
 def _emit(out):

@@ -308,7 +308,8 @@ class SS2DSSD(nn.Module):
         merge = self.st_tokens is None
         # the ST tail's STL mixer is permutation-invariant over L (see
         # cross_stack_scan_order), so the per-direction stack skips the
-        # alignment flips/transposes — fp-order-identical U tokens
+        # alignment flips/transposes — U tokens identical up to fp
+        # summation order (the STL sum over L runs in scan order)
         y = ss2d_core_ssd(xBCdt, A_log, dt_b, Ds, d_ssm=d_ssm, ngroups=G,
                           d_state=N, nheads=nheads, headdim=self.headdim,
                           chunk_size=self.chunk_size, merge=merge,

@@ -111,3 +111,72 @@ def test_repo_last_good_schema():
     for k in ("metric", "value", "unit", "vs_baseline"):
         assert k in rec["result"]
     assert rec["result"]["value"] > 0
+
+
+def test_is_graph_too_big_classifier(benchmod):
+    e413 = RuntimeError("INTERNAL: http://127.0.0.1:8093/remote_compile: "
+                        "HTTP 413: Failed to buffer the request body: "
+                        "length limit exceeded")
+    assert benchmod._is_graph_too_big(e413)
+    assert not benchmod._is_graph_too_big(
+        RuntimeError("INTERNAL: response body closed"))
+    assert not benchmod._is_graph_too_big(ValueError("shape mismatch 413x7"))
+
+
+def test_mfu_fields_from_flops_table(benchmod):
+    table = {"m": {"step_flops_per_image": 28.28e9,
+                   "fwd_flops_per_image": 6.69e9}}
+    f = benchmod._mfu_fields("m", 460.0, 1500.0, table)
+    # 28.28e9 * 460 / 197e12 = 6.6%
+    assert abs(f["train_mfu_pct"] - 6.6) < 0.1
+    assert abs(f["infer_mfu_pct"] - 5.09) < 0.1
+    assert f["step_gflops_per_image"] == 28.28
+    assert benchmod._mfu_fields("absent", 1.0, 1.0, table) == {}
+    assert benchmod._mfu_fields("m", 0.0, 0.0, table) == {}
+
+
+def test_backfill_stale_extras(benchmod, tmp_path, monkeypatch):
+    lg = {"measured_at": "2026-08-21T00:00:00Z",
+          "result": {"extra": {
+              "medssd_train_ips": 350.0, "medssd_infer_ips": 1084.0,
+              "medssd_batch": 32, "medssd_train_mfu_pct": 9.9,
+              "st_ssd_train_ips": 257.9, "st_ssd_infer_ips": 843.0,
+              "st_ssd_batch": 8,
+              # st_ssd was ITSELF stale in last-good: original date sticks
+              "st_ssd_stale_measured_at": "2026-08-01T00:00:00Z"}}}
+    p = tmp_path / "lg.json"
+    p.write_text(json.dumps(lg))
+    monkeypatch.setattr(benchmod, "LAST_GOOD_PATH", str(p))
+    out = {"extra": {"st_ssd_train_ips": 0,  # falsy -> not "present"
+                     "vfefm_2b2_bf16_error": "HTTP 413 ..."}}
+    del out["extra"]["st_ssd_train_ips"]
+    out["extra"]["medssd_ekan_train_ips"] = 123.0  # fresh: untouched
+    benchmod._backfill_stale_extras(
+        out, "medssd_ekan:16,medssd:32,st_ssd:8,vfefm_2b2:2:bf16")
+    e = out["extra"]
+    assert e["medssd_train_ips"] == 350.0 and e["medssd_stale"] is True
+    assert e["medssd_stale_measured_at"] == "2026-08-21T00:00:00Z"
+    assert e["medssd_train_mfu_pct"] == 9.9
+    assert e["st_ssd_stale_measured_at"] == "2026-08-01T00:00:00Z"
+    assert "medssd_ekan_stale" not in e          # fresh value not clobbered
+    # vfefm never measured anywhere: no fabricated number
+    assert "vfefm_2b2_bf16_train_ips" not in e
+
+
+def test_backfill_no_last_good_is_noop(benchmod, tmp_path, monkeypatch):
+    monkeypatch.setattr(benchmod, "LAST_GOOD_PATH",
+                        str(tmp_path / "missing.json"))
+    out = {"extra": {}}
+    benchmod._backfill_stale_extras(out, "medssd:32")
+    assert out == {"extra": {}}
+
+
+def test_repo_flops_json_schema():
+    """FLOPS.json (scripts/flops_report.py output) carries per-image FLOPs
+    for the headline + every default extra key."""
+    path = os.path.join(os.path.dirname(_BENCH), "FLOPS.json")
+    with open(path) as f:
+        table = json.load(f)
+    for key in ("medmamba",):
+        rec = table[key]
+        assert rec["step_flops_per_image"] > rec["fwd_flops_per_image"] > 0
