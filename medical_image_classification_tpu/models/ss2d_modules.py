@@ -29,6 +29,7 @@ from medical_image_classification_tpu.models.common import (
     trunc_normal_02,
     kaiming_conv,
 )
+from medical_image_classification_tpu.ops.cross_scan import split_channels
 from medical_image_classification_tpu.ops.ss2d import (
     ss2d_core_mamba1,
     ss2d_core_ssd,
@@ -289,10 +290,10 @@ class SS2DSSD(nn.Module):
             zxbcdt = nn.Dense(d_in_proj, use_bias=self.bias, dtype=self.dtype,
                               kernel_init=trunc_normal_02, name="in_proj")(u)
         d_mlp = (d_in_proj - 2 * d_ssm - 2 * G * N - nheads) // 2
-        z0 = zxbcdt[..., :d_mlp]
-        x0 = zxbcdt[..., d_mlp:2 * d_mlp]
-        z = zxbcdt[..., 2 * d_mlp:2 * d_mlp + d_ssm]
-        xBCdt = zxbcdt[..., 2 * d_mlp + d_ssm:]
+        # one-concat vjp: plain slices cost a pad+add chain in bwd
+        # (~0.4 ms per pad_add_fusion at MedSSD b32 — see split_channels)
+        z0, x0, z, xBCdt = split_channels(
+            zxbcdt, (d_mlp, d_mlp, d_ssm, d_in_proj - 2 * d_mlp - d_ssm))
 
         conv_dim = d_ssm + 2 * G * N + nheads
         xBCdt = nn.Conv(conv_dim, (self.d_conv, self.d_conv), padding="SAME",

@@ -16,6 +16,9 @@ HBM round-trip.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -195,3 +198,41 @@ def cross_merge_stack_time_major(ys, H, W):
     y3f = jnp.flip(ys[:, :, 3], axis=1)
     y3 = jnp.swapaxes(y3f.reshape(Bb, W, H, C), 1, 2).reshape(Bb, L, C)
     return jnp.stack([y0, y1, y2, y3], axis=1)
+
+
+def split_channels(x, sizes):
+    """Split the trailing axis into contiguous runs with a ONE-CONCAT vjp.
+
+    ``tuple(x[..., o:o+s])`` slices are free views forward (XLA fuses them
+    into consumers), but their autodiff adjoint is a chain of pad+add ops
+    — each cotangent is padded to the full width and summed, re-reading
+    the whole tensor per piece (traced: ~0.4 ms per pad_add_fusion at
+    MedSSD b32 on the in_proj output, `models/ss2d_modules.py`).  The
+    custom vjp assembles the cotangent with a single ``jnp.concatenate``
+    instead — the same trick the r4 dirs-kernel rework used for its
+    operand stack.
+    """
+    assert sum(sizes) == x.shape[-1], (sizes, x.shape)
+    return _split_channels(x, tuple(sizes))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _split_channels(x, sizes):
+    out = []
+    o = 0
+    for s in sizes:
+        out.append(jax.lax.slice_in_dim(x, o, o + s, axis=x.ndim - 1))
+        o += s
+    return tuple(out)
+
+
+def _split_channels_fwd(x, sizes):
+    return _split_channels(x, sizes), None
+
+
+def _split_channels_bwd(sizes, _, cts):
+    # cotangents arrive in the slices' dtype (= x's); one concat, no pads
+    return (jnp.concatenate(list(cts), axis=-1),)
+
+
+_split_channels.defvjp(_split_channels_fwd, _split_channels_bwd)

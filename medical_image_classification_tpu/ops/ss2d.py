@@ -28,6 +28,7 @@ from medical_image_classification_tpu.ops.cross_scan import (
     cross_merge_stack_time_major,
     cross_stack_scan_order,
     cross_merge_time_major,
+    split_channels,
 )
 
 
@@ -133,11 +134,10 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
             # einsum promotes to an fp32 MXU matmul (4-8x slower); the
             # output is bf16 anyway, and the MXU accumulates in fp32
             out = jnp.einsum("bld,dc->blc", xj, Wall.astype(dt_c)).astype(dt_c)
-            dts = (out[..., :D], out[..., D:2 * D])
-            o = 2 * D
-            bc = [(out[..., o:o + N], out[..., o + N:o + 2 * N]),
-                  (out[..., o + 2 * N:o + 3 * N], out[..., o + 3 * N:])]
-            return dts, bc
+            # one-concat vjp (split_channels): the plain-slice adjoint is a
+            # 6-way pad+add chain over the [B, L, 2D+4N] projection output
+            d0, d1, b0, c0, b1, c1 = split_channels(out, (D, D, N, N, N, N))
+            return (d0, d1), [(b0, c0), (b1, c1)]
 
         A2 = -jnp.exp(A_log.astype(jnp.float32)).reshape(2, 2, D, N)
         D2 = Ds.astype(jnp.float32).reshape(2, 2, D)

@@ -93,9 +93,9 @@ def fusion_flops(name, batch, size, dtype):
     from medical_image_classification_tpu.train.optim import make_optimizer
 
     channels = 1 if name == "fusionmamba" else 3
-    kw = {"scan_impl": "xla"}
-    if dtype == "bf16":
-        kw["dtype"] = jnp.bfloat16
+    # FusionVFEFM has no scan_impl plumb; on the CPU backend impl="auto"
+    # resolves to the countable XLA path anyway (selective_scan.py:200)
+    kw = {"dtype": jnp.bfloat16} if dtype == "bf16" else {}
     model = create_fusion_model(name, **kw)
     tx = make_optimizer("adam", 2e-4)
     rng = jax.random.PRNGKey(0)
@@ -142,9 +142,9 @@ def cross_flops(name, batch, size, dtype):
         create_fusion_model)
     from medical_image_classification_tpu.train.optim import make_optimizer
 
-    kw = {"scan_impl": "xla"}
-    if dtype == "bf16":
-        kw["dtype"] = jnp.bfloat16
+    # no scan_impl plumb on the classifier; impl="auto" resolves to the
+    # countable XLA path on the CPU backend anyway (selective_scan.py:200)
+    kw = {"dtype": jnp.bfloat16} if dtype == "bf16" else {}
     model = create_fusion_model(name, num_classes=8, **kw)
     tx = make_optimizer("adam", 1e-4)
     rng = jax.random.PRNGKey(0)

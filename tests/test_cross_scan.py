@@ -140,3 +140,34 @@ def test_scan_order_stack_equiv_through_stl_reduce():
     scan_order = stl_like(cross_stack_scan_order(ys))
     np.testing.assert_allclose(np.asarray(scan_order), np.asarray(aligned),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_split_channels_matches_plain_slices():
+    """split_channels (one-concat vjp) must be value- and grad-identical
+    to plain trailing-axis slices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from medical_image_classification_tpu.ops.cross_scan import (
+        split_channels)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 7, 12), jnp.float32)
+    sizes = (4, 1, 5, 2)
+
+    def f(x):
+        a, b, c, d = split_channels(x, sizes)
+        return (jnp.sum(jnp.tanh(a)) + 2 * jnp.sum(b) + jnp.sum(c * c)
+                + jnp.sum(jnp.abs(d)))
+
+    def g(x):
+        a, b, c, d = x[..., :4], x[..., 4:5], x[..., 5:10], x[..., 10:]
+        return (jnp.sum(jnp.tanh(a)) + 2 * jnp.sum(b) + jnp.sum(c * c)
+                + jnp.sum(jnp.abs(d)))
+
+    np.testing.assert_allclose(float(f(x)), float(g(x)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(g)(x)), rtol=1e-6)
+    # bf16 path keeps the input dtype through the concat
+    xb = x.astype(jnp.bfloat16)
+    gb = jax.grad(lambda t: f(t).astype(jnp.float32))(xb)
+    assert gb.dtype == jnp.bfloat16

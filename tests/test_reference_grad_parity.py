@@ -24,6 +24,12 @@ under test, and that is resolution-independent.
 
 import numpy as np
 import pytest
+
+# reference-EXECUTING suite: every test instantiates + runs the real
+# torch reference (sequential scan stubs) — minutes per test on one
+# CPU.  Full-tier only; `-m "not slow"` is the fast pre-commit tier
+# (VERDICT r4 item 6).
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn.functional as F
 
