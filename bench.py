@@ -205,7 +205,10 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
     bstats = variables.get("batch_stats", {})
 
     def train_carry(carry):
-        params, bstats, opt_state = carry
+        # xa/xb ride the carry: closing over them bakes ~3 MB of input
+        # constants into the serialized graph — weight against the axon
+        # relay's remote-compile body limit (HTTP 413, BENCH_r05)
+        params, bstats, opt_state, xa, xb = carry
 
         def loss_fn(p):
             out, upd = model.apply(
@@ -218,9 +221,10 @@ def bench_fusion(model_name: str, batch: int, size: int, iters: int,
         (_, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates),
-                upd.get("batch_stats", bstats), opt_state2)
+                upd.get("batch_stats", bstats), opt_state2, xa, xb)
 
-    t, tag = _timed(train_carry, (params, bstats, tx.init(params)), iters)
+    t, tag = _timed(train_carry, (params, bstats, tx.init(params), xa, xb),
+                    iters)
 
     def infer_carry(x):
         out = model.apply({"params": params, "batch_stats": bstats},

@@ -100,14 +100,20 @@ class SSConvBlock(nn.Module):
         # gate this path to bf16 only.
         b, h, w, half_c = l.shape
         if l.dtype in (jnp.bfloat16, jnp.float16):
-            pe = np.zeros((half_c, 2 * half_c), np.float32)
-            po = np.zeros((half_c, 2 * half_c), np.float32)
-            pe[np.arange(half_c), 2 * np.arange(half_c)] = 1.0
-            po[np.arange(half_c), 2 * np.arange(half_c) + 1] = 1.0
+            # iota+compare, NOT a numpy array: a concrete numpy matrix is
+            # serialized into the HLO as a dense constant — ~1 MB per
+            # block at dims=512, and the fusion U-Net's accumulated
+            # constants pushed its graph past the axon relay's
+            # remote-compile body limit (HTTP 413, BENCH_r04/r05).  XLA
+            # folds the iota form to the same on-device constant.
+            ii = jax.lax.broadcasted_iota(jnp.int32, (half_c, 2 * half_c), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (half_c, 2 * half_c), 1)
+            pe = (jj == 2 * ii).astype(l.dtype)
+            po = (jj == 2 * ii + 1).astype(r.dtype)
             dot = partial(jax.lax.dot_general,
                           dimension_numbers=(((3,), (0,)), ((), ())),
                           preferred_element_type=l.dtype)
-            out = dot(l, jnp.asarray(pe, l.dtype)) + dot(r, jnp.asarray(po, r.dtype))
+            out = dot(l, pe) + dot(r, po)
         else:
             out = jnp.stack([l, r], axis=-1).reshape(b, h, w, 2 * half_c)
         return out + x

@@ -28,7 +28,6 @@ from medical_image_classification_tpu.ops.cross_scan import (
     cross_merge_stack_time_major,
     cross_stack_scan_order,
     cross_merge_time_major,
-    split_channels,
 )
 
 
@@ -134,10 +133,16 @@ def ss2d_core_mamba1(x, x_proj_w, dt_proj_w, dt_proj_b, A_log, Ds, *,
             # einsum promotes to an fp32 MXU matmul (4-8x slower); the
             # output is bf16 anyway, and the MXU accumulates in fp32
             out = jnp.einsum("bld,dc->blc", xj, Wall.astype(dt_c)).astype(dt_c)
-            # one-concat vjp (split_channels): the plain-slice adjoint is a
-            # 6-way pad+add chain over the [B, L, 2D+4N] projection output
-            d0, d1, b0, c0, b1, c1 = split_channels(out, (D, D, N, N, N, N))
-            return (d0, d1), [(b0, c0), (b1, c1)]
+            # NB plain slices, NOT split_channels: the one-concat vjp that
+            # wins on the SSD in_proj (ss2d_modules) measured +2.0 ms/step
+            # HERE (r5 trace A/B 69.4 -> 71.4) — XLA fuses these slices'
+            # pad+add adjoints into the scan kernels' surrounding passes,
+            # and the explicit concat re-materialises them instead.
+            dts = (out[..., :D], out[..., D:2 * D])
+            o = 2 * D
+            bc = [(out[..., o:o + N], out[..., o + N:o + 2 * N]),
+                  (out[..., o + 2 * N:o + 3 * N], out[..., o + 3 * N:])]
+            return dts, bc
 
         A2 = -jnp.exp(A_log.astype(jnp.float32)).reshape(2, 2, D, N)
         D2 = Ds.astype(jnp.float32).reshape(2, 2, D)
