@@ -418,6 +418,18 @@ def _crossmamba(sd, p, nheads: int):
     }
 
 
+def _stack_pair(t1, t2):
+    """Stack two structurally-identical subtrees on a new leading axis.
+
+    The fusion U-Net runs its two branch streams through ONE vmapped
+    SSConvBlock per depth (`crossmamba.SSConvBlockPair`), so the
+    reference's separate blocks1/blocks2 weights import as [2, ...]
+    stacked leaves."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]), t1, t2)
+
+
 def _ssconv_blocks(sd, p, n, dim, headdim, branch):
     """blocks{branch}.{j} SS_Conv_SSD list -> blocks{branch}_{j} subtrees."""
     params, stats = {}, {}
@@ -461,10 +473,13 @@ def import_vfefm_state_dict(sd, depths=(2, 2, 4, 2),
     for i, depth in enumerate(depths):
         p = f"layers.{i}"
         lp, ls = {}, {}
-        for b in (1, 2):
-            bp, bs = _ssconv_blocks(sd, p, depth, dims[i], headdim, b)
-            lp.update(bp)
-            ls.update(bs)
+        b1p, b1s = _ssconv_blocks(sd, p, depth, dims[i], headdim, 1)
+        b2p, b2s = _ssconv_blocks(sd, p, depth, dims[i], headdim, 2)
+        for j in range(depth):
+            lp[f"blocks_{j}"] = _stack_pair(b1p[f"blocks1_{j}"],
+                                            b2p[f"blocks2_{j}"])
+            ls[f"blocks_{j}"] = _stack_pair(b1s[f"blocks1_{j}"],
+                                            b2s[f"blocks2_{j}"])
         if f"{p}.cat_proj.weight" in sd:
             lp["cat_proj"] = _dense(sd, p + ".cat_proj")
         lp["fusion"] = _crossmamba(sd, p + ".fusion",
@@ -511,10 +526,14 @@ def import_vfefm_state_dict(sd, depths=(2, 2, 4, 2),
         ups = j < len(depths_decoder) - 1
         block_dim = dims_dec[j] // 2 if ups else dims_dec[j]
         lp, ls = {}, {}
+        b1p, b1s = _ssconv_blocks(sd, p, depth, block_dim, headdim, 1)
+        b2p, b2s = _ssconv_blocks(sd, p, depth, block_dim, headdim, 2)
+        for k in range(depth):
+            lp[f"blocks_{k}"] = _stack_pair(b1p[f"blocks1_{k}"],
+                                            b2p[f"blocks2_{k}"])
+            ls[f"blocks_{k}"] = _stack_pair(b1s[f"blocks1_{k}"],
+                                            b2s[f"blocks2_{k}"])
         for b in (1, 2):
-            bp, bs = _ssconv_blocks(sd, p, depth, block_dim, headdim, b)
-            lp.update(bp)
-            ls.update(bs)
             if f"{p}.upsample{b}.expand.weight" in sd:
                 lp[f"upsample{b}"] = _expand(sd, f"{p}.upsample{b}")
             if f"{p}.in_proj{b}.weight" in sd:
