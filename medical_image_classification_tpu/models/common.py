@@ -41,14 +41,20 @@ def channel_shuffle(x, groups: int):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth (timm DropPath used throughout the ref)."""
+    """Per-sample stochastic depth (timm DropPath used throughout the ref).
+
+    ``rate_override`` (call-time, may be a traced scalar) replaces the
+    static attribute — needed by depth-scanned block stacks where the
+    linspace schedule varies along the scanned axis
+    (`crossmamba._BlockStack`)."""
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate_override=None):
+        if deterministic or (rate_override is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        rate = self.rate if rate_override is None else rate_override
+        keep = 1.0 - rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

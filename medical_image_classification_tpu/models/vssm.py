@@ -60,7 +60,7 @@ class SSConvBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, drop_path_override=None):
         half = self.hidden_dim // 2
         left, right = jnp.split(x, 2, axis=-1)
         # NB fp32 LN output is free here: r4 measured dtype=self.dtype on
@@ -83,7 +83,8 @@ class SSConvBlock(nn.Module):
                         name="self_attention")(r, train=train)
         else:
             raise ValueError(f"unknown core: {self.core}")
-        r = DropPath(self.drop_path, name="drop_path")(r, deterministic=not train)
+        r = DropPath(self.drop_path, name="drop_path")(
+            r, deterministic=not train, rate_override=drop_path_override)
         l = ConvBranch(half, dtype=self.dtype, name="conv_branch")(left, train=train)
         # channel_shuffle(concat([l, r]), 2) == interleave(l, r).  The
         # reshape+swapaxes form lowers to a serialized lane-permutation copy

@@ -430,6 +430,15 @@ def _stack_pair(t1, t2):
         lambda a, b: np.stack([np.asarray(a), np.asarray(b)]), t1, t2)
 
 
+def _stack_depth(trees):
+    """Stack per-depth subtrees on a new leading axis (the U-Net stages
+    scan their block pairs over depth — `crossmamba._block_stack_pair` —
+    so leaves end up [depth, 2, ...])."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+
 def _ssconv_blocks(sd, p, n, dim, headdim, branch):
     """blocks{branch}.{j} SS_Conv_SSD list -> blocks{branch}_{j} subtrees."""
     params, stats = {}, {}
@@ -475,11 +484,12 @@ def import_vfefm_state_dict(sd, depths=(2, 2, 4, 2),
         lp, ls = {}, {}
         b1p, b1s = _ssconv_blocks(sd, p, depth, dims[i], headdim, 1)
         b2p, b2s = _ssconv_blocks(sd, p, depth, dims[i], headdim, 2)
-        for j in range(depth):
-            lp[f"blocks_{j}"] = _stack_pair(b1p[f"blocks1_{j}"],
-                                            b2p[f"blocks2_{j}"])
-            ls[f"blocks_{j}"] = _stack_pair(b1s[f"blocks1_{j}"],
-                                            b2s[f"blocks2_{j}"])
+        lp["blocks"] = {"block": _stack_depth(
+            [_stack_pair(b1p[f"blocks1_{j}"], b2p[f"blocks2_{j}"])
+             for j in range(depth)])}
+        ls["blocks"] = {"block": _stack_depth(
+            [_stack_pair(b1s[f"blocks1_{j}"], b2s[f"blocks2_{j}"])
+             for j in range(depth)])}
         if f"{p}.cat_proj.weight" in sd:
             lp["cat_proj"] = _dense(sd, p + ".cat_proj")
         lp["fusion"] = _crossmamba(sd, p + ".fusion",
@@ -528,11 +538,12 @@ def import_vfefm_state_dict(sd, depths=(2, 2, 4, 2),
         lp, ls = {}, {}
         b1p, b1s = _ssconv_blocks(sd, p, depth, block_dim, headdim, 1)
         b2p, b2s = _ssconv_blocks(sd, p, depth, block_dim, headdim, 2)
-        for k in range(depth):
-            lp[f"blocks_{k}"] = _stack_pair(b1p[f"blocks1_{k}"],
-                                            b2p[f"blocks2_{k}"])
-            ls[f"blocks_{k}"] = _stack_pair(b1s[f"blocks1_{k}"],
-                                            b2s[f"blocks2_{k}"])
+        lp["blocks"] = {"block": _stack_depth(
+            [_stack_pair(b1p[f"blocks1_{k}"], b2p[f"blocks2_{k}"])
+             for k in range(depth)])}
+        ls["blocks"] = {"block": _stack_depth(
+            [_stack_pair(b1s[f"blocks1_{k}"], b2s[f"blocks2_{k}"])
+             for k in range(depth)])}
         for b in (1, 2):
             if f"{p}.upsample{b}.expand.weight" in sd:
                 lp[f"upsample{b}"] = _expand(sd, f"{p}.upsample{b}")
