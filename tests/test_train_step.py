@@ -75,6 +75,32 @@ def test_optimizer_factory():
         assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(up))
 
 
+def test_optimizer_flatten_matches_per_leaf():
+    # optax.flatten(adam) must be mathematically identical to per-leaf adam
+    # (it is what bench_fusion measures — graph-size + small-op win only)
+    params = {"w": jnp.ones((3, 3)), "b": jnp.arange(4, dtype=jnp.float32),
+              "nest": {"u": jnp.full((2, 5), 0.5)}}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.cos(p) * 0.1 + 0.01, params)
+    ref_tx = make_optimizer("adam", 1e-3)
+    flat_tx = make_optimizer("adam", 1e-3, flatten=True)
+    ref_p, flat_p = params, params
+    ref_st, flat_st = ref_tx.init(params), flat_tx.init(params)
+    import optax
+    for _ in range(3):
+        up, ref_st = ref_tx.update(grads, ref_st, ref_p)
+        ref_p = optax.apply_updates(ref_p, up)
+        up, flat_st = flat_tx.update(grads, flat_st, flat_p)
+        flat_p = optax.apply_updates(flat_p, up)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_p),
+                    jax.tree_util.tree_leaves(flat_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    import pytest
+    with pytest.raises(ValueError):
+        make_optimizer("adamw", 1e-3, flatten=True,
+                       no_decay_mask=no_weight_decay_mask(params))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from medical_image_classification_tpu.train.checkpoint import (
         save_checkpoint, restore_checkpoint)
