@@ -371,13 +371,13 @@ def _parse_args(argv=None):
     p.add_argument("--mode", default="both", choices=["train", "infer", "both"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--extra-models",
-                   default="medssd_ekan:16,cross_cls_stage3:8,medssd:32,"
-                           "st_ssd:8,vfefm_2b2:2:bf16,vfefm_2b2:2",
+                   default="vfefm_2b2:2:bf16,medssd:32,st_ssd:8,"
+                           "medssd_ekan:16,cross_cls_stage3:8,vfefm_2b2:2",
                    help="comma list of model[:batch[:dtype]] also measured "
-                        "and reported under extra (VERDICT r4 item 1b: the "
-                        "never-yet-measured models run FIRST — medssd_ekan "
-                        "and cross_cls_stage3 have zero driver-visible "
-                        "numbers after 4 rounds; then the round-tracked "
+                        "and reported under extra (VERDICT r4 item 1: the "
+                        "never-yet-landed number runs FIRST — vfefm bf16 "
+                        "is the only extra with zero driver-visible "
+                        "numbers after r5's first full run; then the "
                         "medssd/st_ssd/fusion lines, fp32 fusion anchor "
                         "last); '' disables")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
