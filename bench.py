@@ -612,7 +612,8 @@ def _backfill_stale_extras(out, extra_models):
         if prior.get(f"{key}_train_ips"):
             for suffix in ("train_ips", "infer_ips", "batch", "timing",
                            "train_mfu_pct", "infer_mfu_pct",
-                           "step_gflops_per_image", "fwd_gflops_per_image"):
+                           "step_gflops_per_image", "fwd_gflops_per_image",
+                           "graph", "measured_at", "note"):
                 if f"{key}_{suffix}" in prior:
                     out["extra"][f"{key}_{suffix}"] = prior[f"{key}_{suffix}"]
             out["extra"][f"{key}_stale"] = True
